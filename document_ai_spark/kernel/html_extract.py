@@ -1,0 +1,236 @@
+"""Deterministic main-content extraction from raw HTML bytes.
+
+Readability/trafilatura-style block scoring over a flattened element array,
+built on the Python stdlib only (``html.parser``) so the output is
+byte-identical across machines, partitions and parallelism levels.
+
+Capability analog of the reference's per-document PDF->markdown conversion
+stage (reference: services/ai_service/document_conversion/docling_pdf_loader.py:26-33),
+re-targeted at Common-Crawl-style HTML per the north rule. This is a new
+kernel, not a port: the reference delegates to the docling library; here the
+DOM is tokenized into a flat element/block array and boilerplate is stripped
+via text-density + link-density heuristics.
+
+Pipeline (pure function of the input bytes):
+  bytes --decode(utf-8, errors=replace)--> str
+      --HTMLParser tokenize--> flat block array
+         (tag, text, n_chars, n_link_chars, n_text_nodes, in_article)
+      --score--> keep/drop per block (densities + tag class + length)
+      --join kept blocks with "\n\n"--> text + char-span offsets per block
+
+Determinism notes:
+  * densities are ratios of integer counts -- IEEE-754 division is
+    deterministic; no dict-iteration order, no hash seeding, no wall clock.
+  * whitespace is collapsed to single spaces inside a block, blocks joined
+    with exactly "\n\n"; the span arithmetic reconstructs the text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+from typing import List, Tuple
+
+# Tags whose entire subtree is boilerplate / non-content.
+SKIP_TAGS = frozenset(
+    """script style noscript template svg head nav header footer aside form
+       button select option iframe object embed applet map title
+       datalist""".split()
+)
+
+# Tags that open a new text block when encountered.
+BLOCK_TAGS = frozenset(
+    """p div section article main h1 h2 h3 h4 h5 h6 li dd dt td th
+       blockquote pre figcaption caption summary body table ul ol dl tr
+       figure details""".split()
+)
+
+# Content-bearing tags: low length threshold applies.
+CONTENT_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li blockquote pre figcaption caption dd dt td th".split()
+)
+
+# Void elements (no end tag; never pushed on any stack, checked first).
+VOID_TAGS = frozenset(
+    "br hr img input wbr source track col param base meta link area".split()
+)
+
+# Scoring thresholds (the spec of this engine; pinned by golden files).
+MIN_CONTENT_CHARS = 25       # min chars for a CONTENT_TAGS block
+MIN_WRAPPER_CHARS = 80       # min chars for a div/section/other block
+MAX_LINK_DENSITY_CONTENT = 1.0 / 3.0
+MAX_LINK_DENSITY_WRAPPER = 0.2
+
+
+@dataclass
+class Block:
+    """One flattened DOM text block."""
+
+    tag: str
+    text: str
+    n_chars: int
+    n_link_chars: int
+    n_text_nodes: int
+    in_article: bool
+
+    @property
+    def link_density(self) -> float:
+        return (self.n_link_chars / self.n_chars) if self.n_chars else 0.0
+
+    @property
+    def text_density(self) -> float:
+        # chars per text node: long uninterrupted prose scores high, link
+        # soup (many short anchor texts) scores low.
+        return (self.n_chars / self.n_text_nodes) if self.n_text_nodes else 0.0
+
+
+class _BlockTokenizer(HTMLParser):
+    """Flattens the DOM into a list of Blocks. Tolerates malformed HTML:
+    stray end tags are ignored, unclosed tags are implicitly closed at EOF."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[Block] = []
+        self._skip_depth = 0
+        self._article_depth = 0
+        self._link_depth = 0
+        self._cur_tag = "body"
+        self._pieces: List[str] = []
+        self._link_chars = 0
+        self._n_text_nodes = 0
+        self._open_skip_tags: List[str] = []
+
+    # -- block buffer management -------------------------------------------
+    def _flush(self) -> None:
+        if not self._pieces:
+            self._link_chars = 0
+            self._n_text_nodes = 0
+            return
+        raw = " ".join(" ".join(self._pieces).split())
+        if raw:
+            self.blocks.append(
+                Block(
+                    tag=self._cur_tag,
+                    text=raw,
+                    n_chars=len(raw),
+                    n_link_chars=min(self._link_chars, len(raw)),
+                    n_text_nodes=self._n_text_nodes,
+                    in_article=self._article_depth > 0,
+                )
+            )
+        self._pieces = []
+        self._link_chars = 0
+        self._n_text_nodes = 0
+
+    # -- parser callbacks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in VOID_TAGS:
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            self._open_skip_tags.append(tag)
+            self._flush()
+            return
+        if self._skip_depth:
+            return
+        if tag in ("article", "main"):
+            self._article_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = tag
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS:
+            # only pop if it matches an open skip tag (malformed-HTML guard)
+            if self._open_skip_tags and tag in self._open_skip_tags:
+                # close the innermost matching occurrence
+                for i in range(len(self._open_skip_tags) - 1, -1, -1):
+                    if self._open_skip_tags[i] == tag:
+                        del self._open_skip_tags[i]
+                        self._skip_depth -= 1
+                        break
+            return
+        if self._skip_depth:
+            return
+        if tag in ("article", "main") and self._article_depth > 0:
+            self._article_depth -= 1
+        if tag == "a" and self._link_depth > 0:
+            self._link_depth -= 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = "body"
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if not data or data.isspace():
+            return
+        piece = data
+        self._pieces.append(piece)
+        self._n_text_nodes += 1
+        if self._link_depth:
+            self._link_chars += len(" ".join(piece.split()))
+
+    def close(self) -> None:  # noqa: D102
+        super().close()
+        self._flush()
+
+
+def tokenize_blocks(html_text: str) -> List[Block]:
+    """Flatten an HTML string into scored text blocks (malformed-tolerant)."""
+    tok = _BlockTokenizer()
+    try:
+        tok.feed(html_text)
+        tok.close()
+    except Exception:
+        # html.parser is resilient, but guarantee we never throw: keep
+        # whatever blocks were produced before the failure point.
+        tok._flush()
+    return tok.blocks
+
+
+def keep_block(b: Block) -> bool:
+    """Readability-style keep/drop decision for one block."""
+    if b.n_chars == 0:
+        return False
+    if b.in_article:
+        # inside <article>/<main>: keep everything except pure link lists
+        return b.link_density < 0.8
+    if b.tag in CONTENT_TAGS:
+        return b.n_chars >= MIN_CONTENT_CHARS and b.link_density < MAX_LINK_DENSITY_CONTENT
+    # wrapper soup (div/section/...): require more text and fewer links
+    return b.n_chars >= MIN_WRAPPER_CHARS and b.link_density < MAX_LINK_DENSITY_WRAPPER
+
+
+def extract_html(payload: bytes) -> Tuple[str, List[dict]]:
+    """bytes -> (extracted main text, span dicts).
+
+    Span dict: {block_id, char_start, char_end, tag, text_density,
+    link_density} with offsets into the returned text (text[s:e] == block).
+    """
+    html_text = payload.decode("utf-8", errors="replace")
+    blocks = tokenize_blocks(html_text)
+    kept = [b for b in blocks if keep_block(b)]
+    parts: List[str] = []
+    spans: List[dict] = []
+    pos = 0
+    for i, b in enumerate(kept):
+        if i > 0:
+            pos += 2  # the "\n\n" joiner
+        start = pos
+        end = start + len(b.text)
+        parts.append(b.text)
+        spans.append(
+            {
+                "block_id": i,
+                "char_start": start,
+                "char_end": end,
+                "tag": b.tag,
+                "text_density": b.text_density,
+                "link_density": b.link_density,
+            }
+        )
+        pos = end
+    return "\n\n".join(parts), spans

@@ -1,0 +1,94 @@
+"""End-to-end extraction pipeline with checkpoint/resume (SURVEY.md §3.1).
+
+One lazy DataFrame plan per bucket group:
+
+    read pages (parquet/Iceberg layout, partition+column pruned)
+      -> filter(group_id == g)                  # pure fn of url
+      -> repartition(P, salted url-hash)        # X2 skew defusal
+      -> mapInPandas(extract_batch)             # U1+F1, Arrow batches
+      -> write group=<g>/ partitioned by warc_day, mode=overwrite
+    then append 'done' row + counters to the checkpoint table.
+
+Re-running the same (pages_path, out_dir, run_dir) skips done groups —
+resume at partition(group) granularity, exactly-once output.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from document_ai_spark.functions.hashing import salted_bucket
+from document_ai_spark.operators.extraction import extract_pages
+from document_ai_spark.plans import checkpoint as cp
+
+
+def read_pages(spark: SparkSession, pages_path: str) -> DataFrame:
+    """Read the pages table (Parquet with Iceberg-style warc_day layout)."""
+    return spark.read.option("basePath", pages_path).parquet(pages_path)
+
+
+def group_dir(out_dir: str, group_id: int) -> str:
+    return os.path.join(out_dir, f"group={group_id}")
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    run_dir: str,
+    n_groups: int = 8,
+    salt_partitions: int | None = None,
+    run_id: str | None = None,
+    fail_after_group: int | None = None,
+) -> dict:
+    """Run (or resume) the full extraction job. Returns summary counters.
+
+    ``fail_after_group`` is a test hook: raise after N groups complete to
+    simulate a mid-job crash (resume test, SURVEY.md §5.4).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    pages = read_pages(spark, pages_path)
+    done = cp.done_groups(spark, run_dir)
+    summary = {"run_id": run_id, "groups_done_before": len(done), "groups_run": 0}
+
+    completed = 0
+    for g in range(n_groups):
+        if g in done:
+            continue
+        started = time.time()
+        part = pages.filter(salted_bucket(F.col("url"), n_groups, cp.GROUP_SALT) == g)
+        extracted = extract_pages(part, salt_partitions=salt_partitions)
+        gdir = group_dir(out_dir, g)
+        (
+            extracted.write.mode("overwrite")
+            .partitionBy("warc_day")
+            .parquet(gdir)
+        )
+        # counters from the committed files (columnar read of 2 small cols)
+        stats = (
+            spark.read.parquet(gdir)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("kind") != "error", 1).otherwise(0)).alias("n_ok"),
+                F.sum(F.when(F.col("kind") == "error", 1).otherwise(0)).alias("n_err"),
+                F.sum("bytes_in").alias("bytes_in"),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        cp.append_done(spark, run_dir, run_id, g, stats, started)
+        summary["groups_run"] += 1
+        completed += 1
+        if fail_after_group is not None and completed >= fail_after_group:
+            raise RuntimeError(f"injected failure after {completed} groups (test hook)")
+    return summary
+
+
+def load_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the full extraction output across groups (group is a partition col)."""
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

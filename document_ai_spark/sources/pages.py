@@ -1,0 +1,211 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` corpus generator.
+
+Emits the north-rule input table (BASELINE.json ``input_hint``)::
+
+    pages(url: string, warc_ts: timestamp, html: binary,
+          text: string, lang: string)
+
+written as Parquet partitioned by ``warc_day`` (the local stand-in for an
+Iceberg table partitioned by ``days(warc_ts)`` — no Iceberg jars in the
+sandbox; identical directory layout).
+
+Row mix (FIXTURES.md §1): ~80% templated HTML (link-dense nav/header/
+footer/ads boilerplate + a text-dense <article> main block), ~10% synthetic
+PDFs (two-column + header/footer text objects exercising the layout
+kernel), a Zipf long tail of page sizes with a handful of giant pages
+(x100 median — exercises salted repartitioning), and one of each edge case:
+empty, whitespace-only, truncated tags, invalid UTF-8, no-main-block, a
+byte-duplicate payload under two urls, and a zero-text-object PDF.
+
+Everything derives from ``random.Random(seed)`` — no wall clock, no
+PYTHONHASHSEED dependence, no network. Same (seed, n_docs) => same bytes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import Iterator, List, Tuple
+
+LANGS = ["en", "de", "es", "fr", "zh"]
+
+# seeded per-language vocabularies (marker words make lang-id testable)
+_BASE_VOCAB = {
+    "en": "the quick brown fox jumps over lazy dog with great speed and many words about things".split(),
+    "de": "der schnelle braune fuchs springt über den faulen hund mit großer geschwindigkeit und vielen worten".split(),
+    "es": "el rápido zorro marrón salta sobre el perro perezoso con gran velocidad y muchas palabras".split(),
+    "fr": "le renard brun rapide saute par dessus le chien paresseux avec une grande vitesse et beaucoup de mots".split(),
+    "zh": "快速 棕色 狐狸 跳过 懒惰 的 狗 速度 很 快 许多 词语 关于 事物".split(),
+}
+
+EPOCH = dt.datetime(2024, 3, 1, 0, 0, 0)  # fixed; no wall clock
+N_DAYS = 4
+
+
+def _sentence(rng: random.Random, vocab: List[str], n: int) -> str:
+    words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+    return " ".join(words).capitalize() + "."
+
+
+def _paragraph(rng: random.Random, vocab: List[str], sentences: int) -> str:
+    return " ".join(_sentence(rng, vocab, rng.randint(6, 14)) for _ in range(sentences))
+
+
+def _nav_links(rng: random.Random, n: int) -> str:
+    return " ".join(
+        f'<a href="/s{rng.randrange(999)}">item {rng.randrange(99)}</a>' for _ in range(n)
+    )
+
+
+def _html_page(rng: random.Random, vocab: List[str], n_paras: int) -> Tuple[bytes, str]:
+    """-> (payload bytes, expected-ish main text hint). Article paragraphs are
+    the intended extraction; nav/ads/footer are link-dense boilerplate."""
+    paras = [_paragraph(rng, vocab, rng.randint(2, 6)) for _ in range(n_paras)]
+    title = _sentence(rng, vocab, 5)
+    sidebar = "".join(
+        f'<div class="ad">{_nav_links(rng, 4)} buy now</div>' for _ in range(rng.randint(1, 4))
+    )
+    body_paras = "".join(f"<p>{p}</p>" for p in paras)
+    doc = (
+        "<html><head><title>"
+        + title
+        + '</title><meta charset="utf-8"><script>var x=1;</script>'
+        + "<style>.a{color:red}</style></head><body>"
+        + f"<header><h1>{title}</h1>{_nav_links(rng, 6)}</header>"
+        + f"<nav>{_nav_links(rng, rng.randint(8, 16))}</nav>"
+        + f'<aside>{sidebar}</aside><article>{body_paras}</article>'
+        + f"<footer>{_nav_links(rng, 5)} copyright</footer></body></html>"
+    )
+    return doc.encode("utf-8"), paras[0] if paras else ""
+
+
+def _pdf_page(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
+    """Two-column synthetic PDF with running header/footer text objects."""
+    objs = [
+        "BT /F1 10 Tf 72 760 Td (Running Header) Tj ET",
+        "BT /F1 8 Tf 72 40 Td (page 1) Tj ET",
+    ]
+    # left column x=72, right column x=320; lines top-down from y=720
+    half = max(1, n_lines // 2)
+    y = 720
+    for _ in range(half):
+        line = _sentence(rng, vocab, rng.randint(4, 9)).replace("(", "").replace(")", "")
+        objs.append(f"BT /F1 12 Tf 72 {y} Td ({line}) Tj ET")
+        y -= 40 if rng.random() < 0.2 else 14  # occasional paragraph gap
+        if y <= 60:
+            break
+    y = 720
+    for _ in range(n_lines - half):
+        line = _sentence(rng, vocab, rng.randint(4, 9)).replace("(", "").replace(")", "")
+        objs.append(f"BT /F1 12 Tf 320 {y} Td ({line}) Tj ET")
+        y -= 40 if rng.random() < 0.2 else 14
+        if y <= 60:
+            break
+    rng.shuffle(objs)  # document order != reading order: forces real layout sort
+    body = "\n".join(objs)
+    return (f"%PDF-1.4\n1 0 obj\n<</Type/Page>>\nstream\n{body}\nendstream\n%%EOF\n").encode("utf-8")
+
+
+_EDGE_CASES = [
+    ("empty", b""),
+    ("whitespace", b"   \n\t  \n"),
+    ("truncated", b"<html><body><article><p>Truncated page with enough characters to pass the keep threshold easily"),
+    ("invalid-utf8", b"<html><body><article><p>Valid start \xff\xfe\x80 invalid bytes but extractable text continues here for a while.</p></article>"),
+    ("no-main", b'<html><body><nav><a href="/x">a</a><a href="/y">b</a></nav><footer><a href="/z">c</a></footer></body></html>'),
+    ("pdf-notext", b"%PDF-1.4\n1 0 obj\n<</Type/Page>>\n%%EOF\n"),
+]
+
+
+def generate_rows(n_docs: int, seed: int = 42) -> Iterator[dict]:
+    """Yield page rows deterministically. Includes edge cases + a
+    byte-duplicate pair at the head, then the Zipf-sized mix."""
+    rng = random.Random(seed)
+    i = 0
+    # edge cases first (stable urls)
+    for name, payload in _EDGE_CASES:
+        yield _row(rng, i, payload, lang="en", tag=name)
+        i += 1
+    # byte-duplicate payload under two different urls
+    dup_rng = random.Random(seed + 1)
+    dup_payload, _ = _html_page(dup_rng, _BASE_VOCAB["en"], 5)
+    yield _row(rng, i, dup_payload, lang="en", tag="dup-a")
+    i += 1
+    yield _row(rng, i, dup_payload, lang="en", tag="dup-b")
+    i += 1
+
+    while i < n_docs:
+        lang = LANGS[rng.randrange(len(LANGS))]
+        vocab = _BASE_VOCAB[lang]
+        # Zipf-ish size: 1/k tail, occasionally giant (x100 median)
+        r = rng.random()
+        if i % 997 == 499:
+            n_paras = 400  # giant page: exercises salting
+        elif r < 0.5:
+            n_paras = rng.randint(2, 6)
+        elif r < 0.85:
+            n_paras = rng.randint(6, 20)
+        else:
+            n_paras = rng.randint(20, 60)
+        if rng.random() < 0.10:
+            payload = _pdf_page(rng, vocab, max(4, n_paras))
+        else:
+            payload, _ = _html_page(rng, vocab, n_paras)
+        yield _row(rng, i, payload, lang=lang, tag=None)
+        i += 1
+
+
+def _row(rng: random.Random, i: int, payload: bytes, lang: str, tag) -> dict:
+    ts = EPOCH + dt.timedelta(
+        days=i % N_DAYS, seconds=rng.randrange(86_400)
+    )
+    path = f"{tag}-{i}" if tag else f"page-{i}"
+    return {
+        "url": f"https://site{i % 97}.example/{path}",
+        "warc_ts": ts,
+        "html": payload,
+        "text": None,  # pre-existing text column: unused by extraction
+        "lang": lang,
+    }
+
+
+def write_pages_parquet(out_dir: str, n_docs: int, seed: int = 42, batch_rows: int = 5000) -> int:
+    """Write the corpus as Parquet partitioned by warc_day=YYYY-MM-DD
+    (Iceberg days(warc_ts) layout, Parquet fallback). Returns row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+            pa.field("warc_day", pa.string()),
+        ]
+    )
+    buf: List[dict] = []
+    total = 0
+
+    def _flush(buf: List[dict]) -> None:
+        if not buf:
+            return
+        cols = {
+            "url": [r["url"] for r in buf],
+            "warc_ts": [r["warc_ts"] for r in buf],
+            "html": [r["html"] for r in buf],
+            "text": [r["text"] for r in buf],
+            "lang": [r["lang"] for r in buf],
+            "warc_day": [r["warc_ts"].strftime("%Y-%m-%d") for r in buf],
+        }
+        table = pa.Table.from_pydict(cols, schema=schema)
+        pq.write_to_dataset(table, root_path=out_dir, partition_cols=["warc_day"])
+
+    for row in generate_rows(n_docs, seed=seed):
+        buf.append(row)
+        total += 1
+        if len(buf) >= batch_rows:
+            _flush(buf)
+            buf = []
+    _flush(buf)
+    return total
