@@ -1,0 +1,103 @@
+"""Unit tests for the HTML extraction kernel (pure Python, no Spark)."""
+
+from document_ai_spark.kernel.extract import blake2b_hex, extract_document
+from document_ai_spark.kernel.html_extract import extract_html, keep_block, tokenize_blocks
+
+ARTICLE = (
+    b"<html><head><title>T</title><meta charset='utf-8'><script>var x=1;</script></head>"
+    b"<body><nav><a href='/a'>home</a> <a href='/b'>about</a></nav>"
+    b"<article><p>Hello world this is the main content paragraph with lots of text.</p>"
+    b"<p>Second paragraph here with even more interesting text content.</p></article>"
+    b"<footer><a href='/c'>contact</a> copyright</footer></body></html>"
+)
+
+
+def test_article_kept_boilerplate_dropped():
+    text, spans = extract_html(ARTICLE)
+    assert "main content paragraph" in text
+    assert "Second paragraph" in text
+    assert "home" not in text and "copyright" not in text and "var x=1" not in text
+    assert len(spans) == 2
+    assert [s["tag"] for s in spans] == ["p", "p"]
+
+
+def test_span_offsets_reconstruct_text():
+    text, spans = extract_html(ARTICLE)
+    for s in spans:
+        seg = text[s["char_start"] : s["char_end"]]
+        assert seg and "\n" not in seg
+    joined = "\n\n".join(text[s["char_start"] : s["char_end"]] for s in spans)
+    assert joined == text
+
+
+def test_link_density_drops_link_soup():
+    soup = (
+        b"<html><body><div>"
+        + b" ".join(b'<a href="/x">click here now</a>' for _ in range(30))
+        + b"</div></body></html>"
+    )
+    text, spans = extract_html(soup)
+    assert text == "" and spans == []
+
+
+def test_long_div_outside_article_kept():
+    payload = (
+        b"<html><body><div>"
+        + b"This is a long wrapper div with plenty of prose content and no links at all. " * 3
+        + b"</div></body></html>"
+    )
+    text, _ = extract_html(payload)
+    assert "long wrapper div" in text
+
+
+def test_short_p_dropped_outside_article():
+    text, _ = extract_html(b"<html><body><p>too short</p></body></html>")
+    assert text == ""
+
+
+def test_malformed_html_no_crash():
+    cases = [
+        b"<html><body><article><p>Unclosed paragraph with enough characters to be kept here",
+        b"</div></p></article>stray end tags",
+        b"<html><p>" + b"\xff\xfe\x80" + b" bad bytes but plenty of text follows after them ok</p>",
+        b"<a><a><a>nested anchors with words</a>",
+    ]
+    for c in cases:
+        doc_hash, kind, text, spans, n, nb, err = extract_document(c)
+        assert err is None
+        assert kind in ("html", "empty")
+
+
+def test_invalid_utf8_replacement_deterministic():
+    payload = b"<html><body><article><p>Valid \xff\xfe invalid bytes, text continues for long enough.</p></article>"
+    t1, _ = extract_html(payload)
+    t2, _ = extract_html(payload)
+    assert t1 == t2 and "�" in t1
+
+
+def test_empty_and_whitespace_kind():
+    assert extract_document(b"")[1] == "empty"
+    assert extract_document(b"   \n\t ")[1] == "empty"
+    assert extract_document(None)[1] == "empty"
+
+
+def test_blake2b_matches_reference_params():
+    import hashlib
+
+    data = b"x" * 300_000
+    # reference streams in 128000-byte chunks (hash_file.py:5-19): same digest
+    h = hashlib.blake2b(digest_size=32)
+    for i in range(0, len(data), 128_000):
+        h.update(data[i : i + 128_000])
+    assert blake2b_hex(data) == h.hexdigest()
+
+
+def test_densities_are_ratios_of_counts():
+    blocks = tokenize_blocks(
+        "<body><p><a href='/x'>link text</a> and some unlinked prose words here</p></body>"
+    )
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert 0 < b.link_density < 1
+    assert b.text_density > 0
+    assert keep_block(b) is (b.n_chars >= 25 and b.link_density < 1 / 3)
