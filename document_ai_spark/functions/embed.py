@@ -1,0 +1,68 @@
+"""Deterministic hashed-feature text embeddings (SURVEY.md §2.11 embed_udf).
+
+Capability analog of the reference's REST embedding provider
+(reference services/ai_service/embedding/alibaba.py:26-38: dimension 1024,
+micro-batches of 10). Re-expressed offline-deterministic: the feature
+hashing trick (Weinberger et al., ICML 2009) — each lowercase word token
+hashes to one of DIM buckets with a ±1 sign bit, counts L2-normalized.
+blake2b-based bucket/sign => independent of PYTHONHASHSEED, machine, and
+partition order. Arrow-batched pandas UDF (the Arrow batch replaces the
+reference's size-10 REST micro-batching); numpy inner loop, no per-row
+Python UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DIM = 1024
+_TOKEN_RE = re.compile(r"[\w一-鿿]+", re.UNICODE)
+
+
+def embed_text_py(text: str, dim: int = DIM) -> list:
+    """Pure-Python/numpy oracle: hashed-feature embedding of one string."""
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in _TOKEN_RE.findall((text or "").lower()):
+        d = hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
+        h = int.from_bytes(d, "big")
+        idx = h % dim
+        sign = 1.0 if (h >> 63) & 1 else -1.0
+        v[idx] += sign
+    norm = np.linalg.norm(v)
+    if norm > 0:
+        v /= norm
+    return [float(np.float32(x)) for x in v]
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: embed_text_py(t))
+
+
+def cosine_sim(a, b):
+    """Column expression: cosine similarity of two array<float> columns,
+    computed in double precision JVM-side (zip_with + aggregate — no
+    Python). Null-safe: returns null if either side is null."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def dot_product(a, b):
+    """Double-precision dot product of two array<float> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

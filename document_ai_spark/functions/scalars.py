@@ -1,0 +1,61 @@
+"""Scalar column functions F2–F13 (SURVEY.md §2.7) — all JVM built-ins.
+
+Each mirrors one scalar behavior of the reference (file:line in the
+docstring), expressed as a reusable Column function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sanitize_filename(name: Column) -> Column:
+    """F2 — keep [alnum -_.], strip, spaces->underscores
+    (reference services/paperless_ingestion/PaperlessIngestion.py:136-140)."""
+    kept = F.regexp_replace(name, r"[^A-Za-z0-9 ._-]", "")
+    return F.regexp_replace(F.trim(kept), r" ", "_")
+
+
+def doc_id_from_url(url: Column) -> Column:
+    """F3 — numeric id via r'/documents/(\\d+)/?$'
+    (reference PaperlessIngestion.py:126-130)."""
+    return F.regexp_extract(url, r"/documents/(\d+)/?$", 1)
+
+
+def strip_trailing_slash(url: Column) -> Column:
+    """F4 — url.rstrip('/') (reference PaperlessIngestion.py:34-36)."""
+    return F.regexp_replace(url, r"/+$", "")
+
+
+def default_pdf_suffix(name: Column) -> Column:
+    """F5 — append '.pdf' when no extension (reference PaperlessIngestion.py:86-87)."""
+    return F.when(~name.rlike(r"\.[^./]+$"), F.concat(name, F.lit(".pdf"))).otherwise(name)
+
+
+def chunk_id(file_path: Column, index: Column) -> Column:
+    """F6 — f"{file_path}_chunk_{i}" (reference document_splitter.py:31)."""
+    return F.concat_ws("_chunk_", file_path.cast("string"), index.cast("string"))
+
+
+def source_attribution(content: Column, path: Column, cid: Column) -> Column:
+    """F7 — '{content}\\n[Source: {path}, Chunk: {id}]'
+    (reference utils/query.py:97-99)."""
+    return F.format_string("%s\n[Source: %s, Chunk: %s]", content, path, cid)
+
+
+def iso_date(ts: Column) -> Column:
+    """F8/F12 — yyyy-MM-dd (reference utils/query.py:33,47; app.py:294-296)."""
+    return F.date_format(ts, "yyyy-MM-dd")
+
+
+def json_get(col: Column, key: str) -> Column:
+    """F11 — JSON field extraction (reference app.py:208-213; driver
+    events.props)."""
+    return F.get_json_object(col, f"$.{key}")
+
+
+def coalesce_text(*cols: Column) -> Column:
+    """F10 — first non-null text, empty-string fallback
+    (reference utils/query.py:104-136)."""
+    return F.coalesce(*cols, F.lit(""))

@@ -1,0 +1,261 @@
+"""Deduplication operators — exact and near-duplicate, at 100 TB scale.
+
+Exact dedup generalizes the reference's hash-based duplicate skip
+(reference services/ai_service/add_documents.py:27-32 +
+services/ai_service/utils/existence_check.py:18-26) from a per-document
+point probe into set-at-a-time joins/aggregations. Near-dup operators
+(MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine) are the
+training-data-pipeline extensions: all shuffle on small derived keys
+(band hashes / buckets), never on document text.
+
+Scale notes:
+  * exact_dedup: one hash-aggregate shuffle on a 16-byte digest; map-side
+    partial agg kicks in; no text moves after the hash projection.
+  * minhash signatures: explode to shingles -> groupBy(doc) min-agg per
+    hash fn. Shingle rows are (doc_id, 16B substring) — wide but shuffle-free
+    until the agg; signature table is tiny (k longs/doc).
+  * LSH banding: candidates = self-join on (band_id, band_hash) — the join
+    key is uniformly distributed by construction, so no skew; cost is
+    |bucket|^2 only within colliding buckets.
+  * simhash: 64-bit fingerprint per doc via Arrow-batched UDF; near-dup =
+    same fingerprint band (hamming via xor bit_count in SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct content (md5 of text).
+
+    Window-free formulation: min-agg on the digest then semi-join back —
+    two shuffles on narrow keys, no sort, AQE-coalesced. Returns the
+    surviving rows of ``df``."""
+    digest = F.md5(F.col(text_col)).alias("content_md5")
+    keep = (
+        df.select(digest, F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def dedup_new_vs_existing(
+    incoming: DataFrame, existing: DataFrame, hash_col: str = "doc_hash"
+) -> DataFrame:
+    """The reference's duplicate-skip filter as an anti-join (J1):
+    rows of ``incoming`` whose hash is absent from ``existing``. Broadcast
+    the existing-hash side when it is small (checkpoint tables usually are)."""
+    ex = existing.select(hash_col).distinct()
+    return incoming.join(F.broadcast(ex) if _small(ex) else ex, hash_col, "left_anti")
+
+
+def _small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
+    # cheap heuristic; callers on a real cluster should rely on AQE instead
+    return False
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 16, stride: int = 8) -> DataFrame:
+    """(id, shingle) rows: char k-grams at fixed stride — JVM-only
+    (sequence/transform/substring + explode), no Python."""
+    n = F.length(F.col(text_col))
+    starts = F.when(
+        n >= k,
+        F.sequence(F.lit(0), F.floor((n - k) / stride).cast("int"), F.lit(1)),
+    ).otherwise(F.when(n > 0, F.array(F.lit(0))).otherwise(F.array().cast("array<int>")))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(starts, lambda i: F.substring(F.col(text_col), i * stride + 1, k))
+        ).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16,
+    k: int = 16, stride: int = 8,
+) -> DataFrame:
+    """(id, sig_0..sig_{H-1}): min over shingles of md5(j || '|' || shingle).
+
+    md5-based so the identical computation is expressible in the DuckDB
+    oracle; one shuffle (groupBy id), H min-aggregates computed map-side."""
+    sh = shingles(df, text_col, id_col, k, stride)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_groups(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Band the signature and emit candidate-duplicate buckets:
+    (band_id, band_hash, n_docs, doc_ids) for buckets with >1 doc.
+
+    Docs sharing any band collide => candidate pair; exact verify follows
+    with ngram_jaccard on the (small) candidate set."""
+    sig_cols = [c for c in signatures.columns if c.startswith("sig_")]
+    rows_per_band = len(sig_cols) // bands
+    assert rows_per_band * bands == len(sig_cols), "bands must divide num_hashes"
+    band_exprs = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("b")
+    ).select(id_col, "b.band_id", "b.band_hash")
+    return (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 16, stride: int = 8, threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over char-shingle sets for all id pairs (a < b) that
+    share at least one shingle. Intersection via shingle equi-join,
+    union = |A| + |B| - inter. Use after LSH at scale; standalone only on
+    bounded subsets."""
+    sh = shingles(df, text_col, id_col, k, stride)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, Arrow-batched UDF)
+
+
+def simhash64_py(text: str) -> int:
+    """Charikar simhash over word tokens: per-token 64-bit blake2b hash,
+    signed bit voting. Returns SIGNED int64 (Spark LongType)."""
+    import re as _re
+
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in _re.findall(r"[\w一-鿿]+", (text or "").lower()):
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    v = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            v |= 1 << bit
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(simhash64_py)
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, LSH-style: split the
+    64-bit fingerprint into (max_hamming+1) bands — any pair within
+    max_hamming must agree on >=1 band (pigeonhole) — equi-join on band,
+    verify exact hamming via xor bit_count. No O(n^2) anywhere."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sims = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+    bands = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band_id", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def embedding_near_dups(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, id_limit: int | None = None,
+) -> DataFrame:
+    """Pairs (a<b) with cosine similarity >= threshold.
+
+    Brute-force O(n^2) formulation for bounded sets (``id_limit``); the
+    scale path buckets by an LSH random-hyperplane sign prefix first (see
+    operators.similarity.lsh_bucketed_topk for the pattern)."""
+    from document_ai_spark.functions.embed import cosine_sim
+
+    df = emb.select(F.col(id_col), F.col(vec_col))
+    if id_limit is not None:
+        df = df.filter(F.col(id_col) < id_limit)
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+For a 100 TB training-data pipeline, media payloads ride in the table as
+``binary`` columns with a typed metadata struct, and every transform is an
+Arrow-batched ``mapInPandas`` stage — identical plumbing to the HTML/PDF
+extraction stage. The actual codecs (PIL/ffmpeg/librosa) are NOT in this
+container, so the decode step is stubbed: ``decode_stub=True`` (default)
+runs a deterministic fake decoder (blake2b-derived dimensions + byte
+histogram features) so schema, partitioning, UDF signature and batch shape
+are real and tested; ``decode_stub=False`` raises NotImplementedError at
+the decode call site, marking exactly where a real codec plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image|audio|video
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+N_FEATURES = 16
+
+
+def _fake_decode(payload: bytes) -> tuple:
+    """Deterministic stand-in for a real image decode: dimensions derived
+    from the content hash, features = normalized 16-bin byte histogram."""
+    h = hashlib.blake2b(payload, digest_size=8).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    if payload:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=N_FEATURES, range=(0, 256))
+        feats = (hist / max(1, arr.size)).astype(np.float32)
+    else:
+        feats = np.zeros(N_FEATURES, dtype=np.float32)
+    return width, height, [float(x) for x in feats]
+
+
+def media_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    media_type: str = "image",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """payload binary -> feature rows via mapInPandas (Arrow batches).
+
+    With a real codec installed, replace the _fake_decode call below —
+    the Spark-side plumbing (pruned input, batch iterator, fixed output
+    schema) stays as is."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            payloads = pdf[payload_col].tolist()
+            rows = {k: [] for k in
+                    ("media_id", "media_type", "n_bytes", "content_hash",
+                     "width", "height", "features")}
+            for mid, p in zip(ids, payloads):
+                b = bytes(p) if p is not None else b""
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real media codec not available in this environment; "
+                        "install PIL/ffmpeg and replace _fake_decode"
+                    )
+                w, h, feats = _fake_decode(b)
+                rows["media_id"].append(mid)
+                rows["media_type"].append(media_type)
+                rows["n_bytes"].append(len(b))
+                rows["content_hash"].append(hashlib.blake2b(b, digest_size=16).hexdigest())
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["features"].append(feats)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str = "media_id", duration_col: str = "duration_ms",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per sampled timestamp —
+    JVM-only sequence/explode; the decode of each frame is the stubbed
+    stage above. (sampling schedule is data, not code)."""
+    n = (F.col(duration_col) / F.lit(every_ms)).cast("int")
+    ts = F.when(
+        F.col(duration_col) > 0, F.sequence(F.lit(0), n)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col),
+        F.explode(F.transform(ts, lambda i: i * every_ms)).alias("frame_ts_ms"),
+    )

