@@ -1,0 +1,131 @@
+"""Per-round benchmark (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>,
+     "extract": {"n_docs":, "mb_in":, "docs_per_sec":, "mb_per_sec":}}
+
+The flagship number is the extraction job (north rule): full pipeline over a
+deterministic synthetic `pages` corpus (FIXTURES.md §1) sized by sf —
+read -> salted repartition -> mapInPandas(extract_batch) -> parquet write
+partitioned by warc_day. Relational/dedup/similarity headliners run over the
+driver's sf tables. Execution is forced with a `noop`-format write (full
+materialization, no driver collect). Scaling-efficiency evidence (local[8]
+vs local[32]) is produced separately by scripts/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline driver queries (subset of __spark_entry__.queries() spanning
+# scan/filter/agg, joins, top-k, dedup family, text analysis, retrieval)
+HEADLINERS = [
+    "q01_pricing_summary",
+    "q04_exact_dedup",
+    "q05_chunk_explode",
+    "q06_topk_cosine",
+    "q11_window_topk",
+    "q12_enrichment_join",
+    "q15_lsh_groups",
+    "q17_lang_quality",
+    "q19_embedding_neardup",
+    "q21_token_counts",
+    "q26_retrieval_context",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> None:
+    """Materialize every row/column without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_extraction(spark, sf: float) -> tuple[float, dict]:
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.plans.pipeline import compact_for_write, read_pages
+    from document_ai_spark.sources.pages import write_pages_parquet
+
+    n_docs = max(2000, int(100_000 * sf)) if sf > 0 else 2000
+    corpus = os.path.join(tempfile.gettempdir(), f"da_spark_bench_pages_{n_docs}")
+    if not os.path.isdir(corpus):
+        write_pages_parquet(corpus, n_docs, seed=42)
+
+    pages = read_pages(spark, corpus)
+    mb_in = (pages.agg(F.sum(F.length("html"))).collect()[0][0] or 0) / 1e6
+
+    # Untimed warm pass: spins up + imports the Arrow Python workers, the
+    # steady state of a long-running cluster (a 10^12-doc job pays worker
+    # startup once, not per 10k docs).
+    extract_pages(pages, salt_partitions=CPUS * 2).write.format("noop").mode("overwrite").save()
+
+    out = os.path.join(tempfile.gettempdir(), "da_spark_bench_out")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    extracted = compact_for_write(extract_pages(pages, salt_partitions=CPUS * 2), files_per_day=4)
+    extracted.write.mode("overwrite").partitionBy("warc_day").parquet(out)
+    wall = time.time() - t0
+    return wall, {
+        "n_docs": n_docs,
+        "mb_in": round(mb_in, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(mb_in / wall, 2),
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from document_ai_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    qfns = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    t_ext, extract_stats = bench_extraction(spark, sf)
+    timings["extract"] = round(t_ext, 3)
+
+    for name in HEADLINERS:
+        t0 = time.time()
+        _force(qfns[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+headline-suite wall time (local[%d])" % CPUS,
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract": extract_stats,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,9 +44,18 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 def _marker_hits(text: Column, words: list) -> Column:
     # word boundaries for alphabetic scripts; CJK markers match as-is
-    # (\b is meaningless between CJK chars)
-    alts = "|".join(w if _is_cjk(w) else rf"\b{w}\b" for w in words)
-    return F.regexp_count(F.lower(text), F.lit(f"({alts})"))
+    # (\b is meaningless between CJK chars). The \b is factored OUT of the
+    # alternation — `\b(?:w1|w2)\b` matches the same spans as
+    # `(\bw1\b|\bw2\b)` but avoids per-position per-alternative boundary
+    # backtracking in java.util.regex (~14x faster on prose).
+    alpha = [w for w in words if not _is_cjk(w)]
+    cjk = [w for w in words if _is_cjk(w)]
+    parts = []
+    if alpha:
+        parts.append(r"\b(?:" + "|".join(alpha) + r")\b")
+    if cjk:
+        parts.append("(?:" + "|".join(cjk) + ")")
+    return F.regexp_count(F.lower(text), F.lit("|".join(parts)))
 
 
 def _is_cjk(w: str) -> bool:
@@ -55,17 +64,28 @@ def _is_cjk(w: str) -> bool:
 
 def lang_id(text: Column) -> Column:
     """n-gram/marker-word language guess over the 5 corpus languages.
-    Deterministic argmax with fixed tie order en>de>es>fr>zh."""
-    scores = {lang: _marker_hits(text, w) for lang, w in LANG_MARKERS.items()}
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # iterate in fixed order; strictly-greater keeps the earlier lang on ties
-    for lang in ["en", "de", "es", "fr", "zh"]:
-        s = scores[lang]
-        take = s > best_score
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best
+    Deterministic argmax with fixed tie order en>de>es>fr>zh ('und' when all
+    scores are 0).
+
+    Implemented as array_max over (score, priority, lang) structs so each
+    per-language regexp_count appears EXACTLY ONCE in the plan — a chained
+    when()-expression would duplicate every count O(langs^2) times in the
+    projection (no CSE across conditional branches), which measured ~15x
+    slower at sf0.1."""
+    order = ["en", "de", "es", "fr", "zh"]
+    cands = [
+        # 'und' wins 0-score ties via top priority; any positive score beats it
+        F.struct(F.lit(0).alias("s"), F.lit(len(order) + 1).alias("p"), F.lit("und").alias("lang"))
+    ]
+    for i, lang in enumerate(order):
+        cands.append(
+            F.struct(
+                _marker_hits(text, LANG_MARKERS[lang]).alias("s"),
+                F.lit(len(order) - i).alias("p"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    return F.array_max(F.array(*cands)).getField("lang")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,15 +94,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
       upper_ratio, quality_score (0..1, rounded to 4 dp).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    n_chars = F.length(t)
-    n_tokens = token_count(t)
-    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
-    n_upper = F.regexp_count(t, F.lit(r"[A-Z]"))
-    n_stop = _marker_hits(t, STOPWORDS)
+    # Stage 1: every expensive count computed ONCE into a named column.
+    # Reusing the raw Column objects downstream would re-expand the full
+    # regex/split expression at every use site (CollapseProject keeps this
+    # two-projection shape because the producers are non-cheap and consumed
+    # more than once).
+    counted = df.withColumns(
+        {
+            "_nc": F.length(t),
+            "_ntok": token_count(t),
+            "_npunct": F.regexp_count(t, F.lit(r"[.,;:!?]")),
+            "_nupper": F.regexp_count(t, F.lit(r"[A-Z]")),
+            "_nstop": _marker_hits(t, STOPWORDS),
+        }
+    )
+    # Stage 2: ratios/score reference the counts as plain attributes (free).
+    n_chars, n_tokens = F.col("_nc"), F.col("_ntok")
     avg_tok = F.when(n_tokens > 0, F.round(n_chars / n_tokens, 4)).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(F.lit(0.0))
-    upper_ratio = F.when(n_chars > 0, F.round(n_upper / n_chars, 4)).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tokens > 0, F.round(n_stop / n_tokens, 4)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.round(F.col("_npunct") / n_chars, 4)).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, F.round(F.col("_nupper") / n_chars, 4)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, F.round(F.col("_nstop") / n_tokens, 4)).otherwise(F.lit(0.0))
     # quality: long enough, has sentence punctuation, sane token length,
     # some stopwords (prose-ness). Clamped sum of subscores.
     score = (
@@ -91,15 +122,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when((avg_tok >= 3) & (avg_tok <= 12), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.2
         + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
     )
-    return (
-        df.withColumn("n_chars_q", n_chars.cast("long"))
-        .withColumn("n_tokens", n_tokens.cast("long"))
-        .withColumn("avg_token_len", avg_tok)
-        .withColumn("punct_ratio", punct_ratio)
-        .withColumn("upper_ratio", upper_ratio)
-        .withColumn("stopword_ratio", stop_ratio)
-        .withColumn("quality_score", F.round(score, 4))
-    )
+    return counted.withColumns(
+        {
+            "n_chars_q": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "avg_token_len": avg_tok,
+            "punct_ratio": punct_ratio,
+            "upper_ratio": upper_ratio,
+            "stopword_ratio": stop_ratio,
+            "quality_score": F.round(score, 4),
+        }
+    ).drop("_nc", "_ntok", "_npunct", "_nupper", "_nstop")
 
 
 def min_kgram_fingerprint(text: Column, k: int = 8, stride: int = 4) -> Column:

@@ -36,6 +36,23 @@ def group_dir(out_dir: str, group_id: int) -> str:
     return os.path.join(out_dir, f"group={group_id}")
 
 
+def compact_for_write(df: DataFrame, files_per_day: int, id_col: str = "url") -> DataFrame:
+    """Shuffle so `write.partitionBy("warc_day")` emits ~files_per_day files
+    per day instead of (tasks x days) small files.
+
+    Each row gets a bucket = xxhash64(url) mod files_per_day; repartitioning
+    on (warc_day, bucket) puts every (day, bucket) combo in exactly one
+    task, so total output files == distinct days x files_per_day no matter
+    how many tasks ran upstream — the small-files guard that matters at
+    10^12 docs (a 1000-executor job would otherwise write days x tasks
+    files). The shuffle moves only the extracted output (much smaller than
+    the html input), and the bucket is a pure function of url, so output
+    bytes stay independent of parallelism.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_day))
+    return df.repartition(F.col("warc_day"), bucket)
+
+
 def run_extraction(
     spark: SparkSession,
     pages_path: str,
@@ -45,6 +62,7 @@ def run_extraction(
     salt_partitions: int | None = None,
     run_id: str | None = None,
     fail_after_group: int | None = None,
+    files_per_day: int | None = None,
 ) -> dict:
     """Run (or resume) the full extraction job. Returns summary counters.
 
@@ -63,6 +81,8 @@ def run_extraction(
         started = time.time()
         part = pages.filter(salted_bucket(F.col("url"), n_groups, cp.GROUP_SALT) == g)
         extracted = extract_pages(part, salt_partitions=salt_partitions)
+        if files_per_day:
+            extracted = compact_for_write(extracted, files_per_day)
         gdir = group_dir(out_dir, g)
         (
             extracted.write.mode("overwrite")
