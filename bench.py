@@ -78,12 +78,15 @@ def bench_extraction(spark, sf: float) -> tuple[float, dict]:
     # Untimed warm pass: spins up + imports the Arrow Python workers, the
     # steady state of a long-running cluster (a 10^12-doc job pays worker
     # startup once, not per 10k docs).
-    extract_pages(pages, salt_partitions=CPUS * 2).write.format("noop").mode("overwrite").save()
+    extract_pages(pages).write.format("noop").mode("overwrite").save()
 
     out = os.path.join(tempfile.gettempdir(), "da_spark_bench_out")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    extracted = compact_for_write(extract_pages(pages, salt_partitions=CPUS * 2), files_per_day=4)
+    # production plan: scan-aligned extraction (16 MB splits), then ONE
+    # salted repartition on (warc_day, url-bucket) that both balances the
+    # write and bounds output file count
+    extracted = compact_for_write(extract_pages(pages), files_per_day=8)
     extracted.write.mode("overwrite").partitionBy("warc_day").parquet(out)
     wall = time.time() - t0
     return wall, {

@@ -59,6 +59,13 @@ def cosine_sim(a, b):
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def l2_norm(v):
+    """Column expression: L2 norm of an array<float> column in double
+    precision (same fold as cosine_sim's denominator — hoist it to a column
+    before a self-join so it is computed per row, not per pair)."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
 def dot_product(a, b):
     """Double-precision dot product of two array<float> columns (JVM-side)."""
     return F.aggregate(

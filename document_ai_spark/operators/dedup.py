@@ -244,18 +244,28 @@ def embedding_near_dups(
     Brute-force O(n^2) formulation for bounded sets (``id_limit``); the
     scale path buckets by an LSH random-hyperplane sign prefix first (see
     operators.similarity.lsh_bucketed_topk for the pattern)."""
-    from document_ai_spark.functions.embed import cosine_sim
+    from document_ai_spark.functions.embed import dot_product, l2_norm
 
     df = emb.select(F.col(id_col), F.col(vec_col))
     if id_limit is not None:
         df = df.filter(F.col(id_col) < id_limit)
+    # Precompute each row's norm ONCE before the self-join: inside the join
+    # the norm would be re-evaluated per PAIR (O(n^2) 1024-element folds
+    # instead of O(n)). Same expression tree as cosine_sim => bit-identical
+    # scores (dot / (na * nb)), just hoisted.
+    df = df.withColumn("_norm", l2_norm(F.col(vec_col)))
     a, b = df.alias("a"), df.alias("b")
+    dot = dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = F.when(
+        (F.col("a._norm") > 0) & (F.col("b._norm") > 0),
+        dot / (F.col("a._norm") * F.col("b._norm")),
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
+            F.round(cos, 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -106,17 +106,34 @@ def extract_pages(
     pages: DataFrame,
     salt_partitions: int | None = None,
     salt: int = 0,
+    heavy_bytes: int = 0,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) -> extracted DataFrame.
 
-    ``salt_partitions``: when set, repartitions on the salted url-hash
-    bucket first (SURVEY.md X2) so skewed giant pages spread evenly. The
-    bucket is a pure function of url => output is independent of the
-    physical partitioning (byte-identity invariant).
+    ``salt_partitions``: when set, rows are salted-repartitioned on
+    url-hash (SURVEY.md X2) so skewed giant pages spread evenly across
+    tasks AND reduce-task count decouples from the scan's file-split
+    layout. With the default ``heavy_bytes=0`` the whole input moves
+    through one exchange (the north-rule shape: one full balancing
+    shuffle, one scan). Setting ``heavy_bytes>0`` switches to outlier-only
+    salting: only payloads >= heavy_bytes are shuffled while the bulk
+    keeps scan-aligned partitioning — saves shuffle volume when the giant
+    tail is rare, at the cost of a second pass over the scan (two filter
+    branches), so prefer it only when shuffle bandwidth, not scan I/O, is
+    the cluster bottleneck. Routing and bucketing are pure functions of
+    (url, payload length), so output is independent of physical
+    partitioning (byte-identity invariant).
     """
     cols = ["url", "warc_ts", "lang", "html"]  # explicit pruning before UDF
     df = pages.select(*cols)
     if salt_partitions:
-        df = df.repartition(salt_partitions, salted_bucket(F.col("url"), salt_partitions, salt))
+        bucketed = salted_bucket(F.col("url"), salt_partitions, salt)
+        if heavy_bytes > 0:
+            size = F.coalesce(F.length("html"), F.lit(0))
+            light = df.filter(size < heavy_bytes)
+            heavy = df.filter(size >= heavy_bytes).repartition(salt_partitions, bucketed)
+            df = light.unionByName(heavy)
+        else:
+            df = df.repartition(salt_partitions, bucketed)
     out = df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
     return out.withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))

@@ -36,7 +36,9 @@ def group_dir(out_dir: str, group_id: int) -> str:
     return os.path.join(out_dir, f"group={group_id}")
 
 
-def compact_for_write(df: DataFrame, files_per_day: int, id_col: str = "url") -> DataFrame:
+def compact_for_write(
+    df: DataFrame, files_per_day: int, id_col: str = "url", num_tasks: int | None = None
+) -> DataFrame:
     """Shuffle so `write.partitionBy("warc_day")` emits ~files_per_day files
     per day instead of (tasks x days) small files.
 
@@ -48,9 +50,17 @@ def compact_for_write(df: DataFrame, files_per_day: int, id_col: str = "url") ->
     files). The shuffle moves only the extracted output (much smaller than
     the html input), and the bucket is a pure function of url, so output
     bytes stay independent of parallelism.
+
+    File count stays == distinct days x files_per_day for ANY task count
+    (each combo hashes wholly into one task), so ``num_tasks`` only sets
+    write parallelism; it is passed explicitly so AQE does NOT coalesce the
+    write stage down to a few tasks and serialize the parquet/zstd encode.
+    Default: the session's shuffle.partitions.
     """
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_day))
-    return df.repartition(F.col("warc_day"), bucket)
+    if num_tasks is None:
+        num_tasks = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(num_tasks, F.col("warc_day"), bucket)
 
 
 def run_extraction(

@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # MB-sized binary rows feeding a CPU-heavy Python stage: default
+        # 128 MB splits would pack a small corpus into a handful of scan
+        # tasks and leave cores idle in the last wave. 8 MB targets a few
+        # seconds of extraction per task — fine-grained enough to pack
+        # waves evenly under Zipf-skewed page sizes, coarse enough that
+        # per-task overhead stays <1%. Scales with per-byte kernel cost,
+        # not corpus size (a cluster run tunes this per executor count).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

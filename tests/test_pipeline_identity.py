@@ -97,3 +97,22 @@ def test_duplicate_payload_same_hash_distinct_urls(spark, pages_dir):
     assert len(dups) == 2
     assert dups[0]["doc_hash"] == dups[1]["doc_hash"]
     assert dups[0]["text"] == dups[1]["text"] != ""
+
+
+def test_outlier_salting_byte_identical(spark, pages_dir):
+    """heavy_bytes>0 (outlier-only salting: light rows stay scan-aligned,
+    giant rows shuffle) must produce the same rows as the default full
+    salted repartition — routing is physical-plan-only."""
+    full = extract_pages(read_pages(spark, pages_dir), salt_partitions=8)
+    split = extract_pages(
+        read_pages(spark, pages_dir), salt_partitions=8, heavy_bytes=2048
+    )
+    a = sorted((r.url, r.doc_hash, r.text, str(r.spans)) for r in full.collect())
+    b = sorted((r.url, r.doc_hash, r.text, str(r.spans)) for r in split.collect())
+    assert a == b
+    # the split must actually route both ways at this threshold
+    n_heavy = (
+        read_pages(spark, pages_dir)
+        .filter("length(html) >= 2048").count()
+    )
+    assert 0 < n_heavy < full.count()
