@@ -1,0 +1,82 @@
+"""Physical-plan property gates (SURVEY.md §4): predicate pushdown reaches
+the parquet scan, column pruning keeps unused columns out of the Python
+exchange, small dimension sides broadcast. A plan regression here costs
+orders of magnitude at 100 TB even when results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    return qe.executedPlan().toString() + qe.optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_q01_filter_pushed_to_scan(spark, entry):
+    p = _plan(entry.q01_pricing_summary(spark, SF_SMALL))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "LessThanOrEqual(l_shipdate" in pushed
+
+
+def test_q01_column_pruning(spark, entry):
+    p = _plan(entry.q01_pricing_summary(spark, SF_SMALL))
+    schema = re.findall(r"ReadSchema: (\S+)", p)[0]
+    # only the 5 referenced measure/key columns + shipdate, never the
+    # unreferenced l_partkey/l_suppkey/l_tax
+    assert "l_partkey" not in schema and "l_tax" not in schema
+
+
+def test_enrichment_join_broadcasts_dimension(spark, entry):
+    assert "BroadcastHashJoin" in _plan(entry.q12_enrichment_join(spark, SF_SMALL))
+
+
+def test_q27_pushdown_and_broadcast(spark, entry):
+    p = _plan(entry.q27_shipping_priority(spark, SF_SMALL))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "GreaterThan(l_shipdate" in pushed
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+    assert "BroadcastHashJoin" in p
+
+
+def test_extraction_scan_pruned_to_udf_inputs(spark, pages_dir):
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.plans.pipeline import read_pages
+
+    p = _plan(extract_pages(read_pages(spark, pages_dir)))
+    schema = re.findall(r"ReadSchema: (\S+)", p)[0]
+    # exactly the 4 UDF inputs cross the scan; the pre-existing `text`
+    # column must NOT be read
+    for col in ("url:", "warc_ts:", "html:", "lang:"):
+        assert col in schema
+    assert "text:" not in schema
+
+
+def test_extraction_default_plan_has_no_input_shuffle(spark, pages_dir):
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.plans.pipeline import read_pages
+
+    p = _plan(extract_pages(read_pages(spark, pages_dir)))
+    # scan-aligned: no Exchange between scan and the Python stage
+    assert "Exchange" not in p
+
+
+def test_compact_write_shuffle_not_aqe_coalesced(spark, pages_dir):
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.plans.pipeline import compact_for_write, read_pages
+
+    df = compact_for_write(extract_pages(read_pages(spark, pages_dir)), files_per_day=4)
+    n = df.rdd.getNumPartitions()
+    expected = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert n == expected
