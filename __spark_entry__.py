@@ -382,6 +382,23 @@ def q28_regional_revenue(spark, sf_dir):
     )
 
 
+def q29_sessionize(spark, sf_dir):
+    """Gap-based per-user sessionization (30 min) — batch twin of the
+    applyInPandasWithState streaming operator (streaming/sessionize.py)."""
+    from document_ai_spark.streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_batch(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_id")
+
+
 # -- rows-only (non-SQL-expressible; python-oracle'd in tests/) -------------
 
 def q22_simhash_neardup(spark, sf_dir):
@@ -478,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_retrieval_context": q26_retrieval_context,
         "q27_shipping_priority": q27_shipping_priority,
         "q28_regional_revenue": q28_regional_revenue,
+        "q29_sessionize": q29_sessionize,
     }
 
 
@@ -768,6 +786,25 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n_name ASC
+""",
+        "q29_sessionize": """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+  FROM s
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
 """,
     }
 

@@ -1,0 +1,175 @@
+"""Per-user sessionization — the custom stateful streaming operator.
+
+The reference has no stateful stream processing at all (SURVEY.md §2.10);
+this is the training-pipeline extension: group events by user, close a
+session when ``gap`` elapses between consecutive events, emit
+(user_id, session_start, session_end, n_events, sum_value).
+
+Two implementations with identical semantics:
+  * sessionize_batch — pure DataFrame ops (lag -> gap flag -> running sum
+    session id -> groupBy), DuckDB-oracle-checkable, used for backfills.
+  * sessionize_stream_fn — an ``applyInPandasWithState`` update function
+    for Structured Streaming: state carries the open session per user;
+    arrival of an event beyond the gap (or processing-timeout expiry)
+    emits the closed session. Exactly the
+    ``flatMapGroupsWithState``-style operator the reference's thread-based
+    design could never express.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start", T.DoubleType()),  # epoch seconds
+        T.StructField("session_end", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessions as plain window ops (one shuffle on user_id;
+    both window functions and the final aggregate reuse that partitioning)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    gap = F.lit(gap_minutes * 60)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("_sid", sid)
+        .groupBy(F.col(user_col).alias("user_id"), F.col("_sid").alias("session_id"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream_fn(gap_minutes: int = 30, timeout_ms: int | None = None):
+    """Returns the (key, batches, state) update function for
+    ``groupBy(user_id).applyInPandasWithState(fn, SESSION_SCHEMA,
+    STATE_SCHEMA, "append", <timeout conf>)``.
+
+    State = the currently-open session for the user. Events are folded in
+    event-time order; a gap closes the open session and emits it. With
+    ``timeout_ms`` set (and ProcessingTimeTimeout configured) an idle
+    user's open session is flushed on timeout; the default NoTimeout form
+    leaves tail sessions in state — a periodic batch backfill
+    (sessionize_batch) closes them, which is the cheaper pattern for a
+    training-data pipeline where sessions are consumed in bulk."""
+    gap_s = gap_minutes * 60.0
+
+    def fn(key, pdfs, state):
+        user_id = int(key[0])
+        out = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                s0, s1, n, v = state.get
+                out.append((user_id, s0, s1, int(n), float(v)))
+                state.remove()
+        else:
+            rows = []
+            for pdf in pdfs:
+                for ts, val in zip(pdf["ts"], pdf["value"]):
+                    t = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+                    rows.append((t, float(val)))
+            rows.sort()
+            cur = list(state.get) if state.exists else None
+            for t, val in rows:
+                if cur is None:
+                    cur = [t, t, 1, val]
+                elif t - cur[1] > gap_s:
+                    out.append((user_id, cur[0], cur[1], int(cur[2]), float(cur[3])))
+                    cur = [t, t, 1, val]
+                else:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+                    cur[3] += val
+            if cur is not None:
+                state.update(tuple(cur))
+                if timeout_ms is not None:
+                    state.setTimeoutDuration(timeout_ms)
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [dt.datetime.utcfromtimestamp(o[1]) for o in out],
+                    "session_end": [dt.datetime.utcfromtimestamp(o[2]) for o in out],
+                    "n_events": [o[3] for o in out],
+                    "sum_value": [round(o[4], 2) for o in out],
+                }
+            )
+
+    return fn
+
+
+def run_sessionize_stream(
+    spark,
+    events_path: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "sessions",
+) -> DataFrame:
+    """Drive the stateful sessionizer over the events parquet as a stream
+    (availableNow, memory sink); returns sessions CLOSED by a later event
+    (idle-flush needs a subsequent trigger's timeout)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize_stream_fn(gap_minutes),
+        SESSION_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -51,3 +51,57 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions CLOSED by a later event
+    must match the batch sessionizer's output for the same input (the open
+    tail session per user stays in state pending timeout)."""
+    import datetime as dt
+
+    from document_ai_spark.streaming.sessionize import (
+        run_sessionize_stream,
+        sessionize_batch,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+    def ev(eid, uid, minutes, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", value, "{}")
+
+    rows = [
+        # user 1: two sessions (gap 45 > 30min), second stays open
+        ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 55, 4.0),
+        # user 2: three sessions, last stays open
+        ev(4, 2, 0, 1.0), ev(5, 2, 40, 1.0), ev(6, 2, 90, 1.0),
+        # user 3: single (open) session -> absent from stream output
+        ev(7, 3, 0, 9.0), ev(8, 3, 5, 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    out = run_sessionize_stream(
+        spark, src, str(tmp_path / "ckpt"), gap_minutes=30, query_name="sess_t"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+
+    batch = sessionize_batch(events, gap_minutes=30)
+    # expected = every batch session except each user's last (still open)
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id")
+    closed = batch.withColumn("max_sid", F.max("session_id").over(w)).filter(
+        F.col("session_id") < F.col("max_sid")
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in closed.collect()
+    }
+    assert got == want
+    assert len(want) == 3  # u1: 1 closed, u2: 2 closed, u3: 0
