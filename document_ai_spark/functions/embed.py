@@ -25,19 +25,37 @@ DIM = 1024
 _TOKEN_RE = re.compile(r"[\w一-鿿]+", re.UNICODE)
 
 
+# token -> (bucket, sign): a pure function of the token, so caching it
+# changes nothing about the output, only skips the blake2b. Web text
+# repeats tokens heavily (hit rates >99%); bounded so a pathological
+# vocabulary cannot grow worker memory unboundedly.
+_TOKEN_CACHE: dict = {}
+_TOKEN_CACHE_MAX = 1_000_000
+
+
+def _token_feature(tok: str, dim: int):
+    key = (tok, dim)
+    f = _TOKEN_CACHE.get(key)
+    if f is None:
+        d = hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
+        h = int.from_bytes(d, "big")
+        f = (h % dim, 1.0 if (h >> 63) & 1 else -1.0)
+        if len(_TOKEN_CACHE) < _TOKEN_CACHE_MAX:
+            _TOKEN_CACHE[key] = f
+    return f
+
+
 def embed_text_py(text: str, dim: int = DIM) -> list:
     """Pure-Python/numpy oracle: hashed-feature embedding of one string."""
     v = np.zeros(dim, dtype=np.float64)
     for tok in _TOKEN_RE.findall((text or "").lower()):
-        d = hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
-        h = int.from_bytes(d, "big")
-        idx = h % dim
-        sign = 1.0 if (h >> 63) & 1 else -1.0
+        idx, sign = _token_feature(tok, dim)
         v[idx] += sign
     norm = np.linalg.norm(v)
     if norm > 0:
         v /= norm
-    return [float(np.float32(x)) for x in v]
+    # round-trip through float32 exactly as before, vectorized
+    return v.astype(np.float32).tolist()
 
 
 @F.pandas_udf(T.ArrayType(T.FloatType()))

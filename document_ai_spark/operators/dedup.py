@@ -163,6 +163,24 @@ def ngram_jaccard_pairs(
 # SimHash (64-bit, Arrow-batched UDF)
 
 
+# token -> ±1 bit-vote vector: pure function of the token; cached so the
+# blake2b + 64-bit unpack run once per distinct token per worker.
+_SIMHASH_TOKEN_CACHE: dict = {}
+_SIMHASH_CACHE_MAX = 1_000_000
+
+
+def _token_votes(tok: str) -> np.ndarray:
+    v = _SIMHASH_TOKEN_CACHE.get(tok)
+    if v is None:
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        v = np.fromiter(
+            (1 if (h >> bit) & 1 else -1 for bit in range(64)), dtype=np.int64, count=64
+        )
+        if len(_SIMHASH_TOKEN_CACHE) < _SIMHASH_CACHE_MAX:
+            _SIMHASH_TOKEN_CACHE[tok] = v
+    return v
+
+
 def simhash64_py(text: str) -> int:
     """Charikar simhash over word tokens: per-token 64-bit blake2b hash,
     signed bit voting. Returns SIGNED int64 (Spark LongType)."""
@@ -170,9 +188,7 @@ def simhash64_py(text: str) -> int:
 
     acc = np.zeros(64, dtype=np.int64)
     for tok in _re.findall(r"[\w一-鿿]+", (text or "").lower()):
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
+        acc += _token_votes(tok)
     v = 0
     for bit in range(64):
         if acc[bit] > 0:
