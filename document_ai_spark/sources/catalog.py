@@ -1,0 +1,92 @@
+"""Thin table-catalog adapter: Iceberg when configured, Parquet fallback.
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg runtime
+jars, so every table in this repo is addressed through this adapter
+(SURVEY.md §7 step 0): when the session has an Iceberg catalog configured
+(any ``spark.sql.catalog.<name>`` conf), tables resolve to
+``<catalog>.<namespace>.<table>`` and writes use the DataFrameWriterV2
+``writeTo`` API with ``partitionedBy(days(ts))``; otherwise tables resolve
+to Parquet directories with the IDENTICAL partition layout
+(``warc_day=YYYY-MM-DD/``), so a cluster deployment flips a config, not
+code.
+
+Reference analog: the ChromaDB collection + SQLite store are the
+reference's only 'catalog' (services/ai_service/main.py:56-61,
+services/db_service/main.py:6-18); here the catalog is a real table
+namespace.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of the first configured Spark SQL catalog, or None."""
+    for k, _ in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3:
+            return k.rsplit(".", 1)[1]
+    return None
+
+
+class Catalog:
+    """Resolves logical table names to Iceberg identifiers or Parquet dirs."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, namespace: str = "db"):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.namespace = namespace
+        self.iceberg = iceberg_catalog(spark)
+
+    # -- resolution ---------------------------------------------------------
+    def identifier(self, table: str) -> str:
+        if self.iceberg:
+            return f"{self.iceberg}.{self.namespace}.{table}"
+        return os.path.join(self.warehouse_dir, table)
+
+    # -- read ---------------------------------------------------------------
+    def read(self, table: str) -> DataFrame:
+        ident = self.identifier(table)
+        if self.iceberg:
+            return self.spark.read.table(ident)
+        return self.spark.read.option("basePath", ident).parquet(ident)
+
+    # -- write --------------------------------------------------------------
+    def write_day_partitioned(
+        self, df: DataFrame, table: str, ts_col: str = "warc_ts", mode: str = "append"
+    ) -> None:
+        """Write partitioned by day(ts): Iceberg `partitionedBy(days(ts))`,
+        Parquet `partitionBy(warc_day=...)` — identical physical layout."""
+        ident = self.identifier(table)
+        if self.iceberg:
+            w = df.writeTo(ident).partitionedBy(F.days(F.col(ts_col)))
+            if mode == "overwrite":
+                w.createOrReplace()
+            else:
+                w.createOrReplace() if not self.spark.catalog.tableExists(ident) else w.append()
+            return
+        day_col = "warc_day"
+        out = df
+        if day_col not in df.columns:
+            out = df.withColumn(day_col, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        out.write.mode(mode).partitionBy(day_col).parquet(ident)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        ident = self.identifier(table)
+        if self.iceberg:
+            self.spark.sql(f"CREATE TABLE IF NOT EXISTS {ident} AS SELECT * FROM (SELECT 1) WHERE 1=0")
+            df.writeTo(ident).append()
+        else:
+            df.write.mode("append").parquet(ident)
+
+    def drop(self, table: str) -> None:
+        ident = self.identifier(table)
+        if self.iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        else:
+            import shutil
+
+            shutil.rmtree(ident, ignore_errors=True)
