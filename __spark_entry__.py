@@ -382,6 +382,21 @@ def q28_regional_revenue(spark, sf_dir):
     )
 
 
+def q30_metrics_rollup(spark, sf_dir):
+    """A1-style multi-level metrics via GROUPING SETS: per (day, event_type),
+    per day, and global totals in ONE pass (partial aggregation map-side;
+    the reference logs only a flat end-of-run summary, main.py:165-172)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("day", "event_type", "n", "sum_value")
+        .orderBy(F.asc_nulls_last("day"), F.asc_nulls_last("event_type"))
+    )
+
+
 def q29_sessionize(spark, sf_dir):
     """Gap-based per-user sessionization (30 min) — batch twin of the
     applyInPandasWithState streaming operator (streaming/sessionize.py)."""
@@ -496,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_shipping_priority": q27_shipping_priority,
         "q28_regional_revenue": q28_regional_revenue,
         "q29_sessionize": q29_sessionize,
+        "q30_metrics_rollup": q30_metrics_rollup,
     }
 
 
@@ -805,6 +821,13 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
   count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
+""",
+        "q30_metrics_rollup": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (day, event_type)
+ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST
 """,
     }
 

@@ -67,7 +67,7 @@ def bench_extraction(spark, sf: float) -> tuple[float, dict]:
     from document_ai_spark.plans.pipeline import compact_for_write, read_pages
     from document_ai_spark.sources.pages import write_pages_parquet
 
-    n_docs = max(2000, int(100_000 * sf)) if sf > 0 else 2000
+    n_docs = max(4000, int(200_000 * sf)) if sf > 0 else 4000
     corpus = os.path.join(tempfile.gettempdir(), f"da_spark_bench_pages_{n_docs}")
     if not os.path.isdir(corpus):
         write_pages_parquet(corpus, n_docs, seed=42)
