@@ -397,6 +397,17 @@ def q30_metrics_rollup(spark, sf_dir):
     )
 
 
+def q31_dedup_groups(spark, sf_dir):
+    """Near-dup pairs -> duplicate clusters via distributed connected
+    components (large-star/small-star joins, no driver-side graph); edges
+    are the q16 n-gram-Jaccard pairs. Canonical = min doc_id per cluster."""
+    from document_ai_spark.operators.dedup import ngram_jaccard_pairs, resolve_duplicate_groups
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=8, stride=4, threshold=0.02)
+    return resolve_duplicate_groups(pairs).orderBy("id")
+
+
 def q29_sessionize(spark, sf_dir):
     """Gap-based per-user sessionization (30 min) — batch twin of the
     applyInPandasWithState streaming operator (streaming/sessionize.py)."""
@@ -512,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_regional_revenue": q28_regional_revenue,
         "q29_sessionize": q29_sessionize,
         "q30_metrics_rollup": q30_metrics_rollup,
+        "q31_dedup_groups": q31_dedup_groups,
     }
 
 
@@ -828,6 +840,36 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
 FROM events
 GROUP BY ROLLUP (day, event_type)
 ORDER BY day ASC NULLS LAST, event_type ASC NULLS LAST
+""",
+        # q31: min-label propagation as a recursive CTE. The component
+        # minimum m satisfies m < x for every other member x, so the rule
+        # "propagate comp from u to v when comp < v" carries m across the
+        # whole component; min over received labels == component min.
+        "q31_dedup_groups": "WITH RECURSIVE "
+        + _SHINGLES_CTE.format(k=8, stride=4, filt="d.doc_id < 40", smax=_SERIES_MAX).lstrip()
+        + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.id_a AS u, i.id_b AS v
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.02
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+nodes AS (SELECT DISTINCT u AS id FROM sym),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id WHERE w.comp < s.v
+)
+SELECT n.id, min(w.comp) AS component,
+  (n.id = min(w.comp)) AS is_canonical
+FROM nodes n JOIN walk w ON w.id = n.id
+GROUP BY n.id ORDER BY n.id
 """,
     }
 

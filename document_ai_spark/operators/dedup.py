@@ -285,3 +285,85 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: distributed connected components
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iterations: int = 20
+) -> DataFrame:
+    """(id, component) for every node, component = min id reachable.
+
+    Alternating large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) expressed as joins +
+    min-aggregates — no driver-side graph, converges in O(log^2 n) rounds.
+    This is how near-dup PAIRS (minhash/simhash/cosine) become dedup
+    GROUPS at 10^12-doc scale; a driver-side union-find would need every
+    edge on one machine.
+
+    Each round: attach to every node the minimum id in its current
+    neighborhood (including itself), rewire edges to point at that
+    minimum, dedupe. Fixpoint when the edge set stops changing (checked by
+    count of changed links).
+    """
+    # normalize: undirected edge list as (src < dst) pairs, no self-loops
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    nodes = e.select(F.col("u").alias("id")).union(e.select("v")).distinct()
+
+    # link(id -> parent), initially id -> min(neighbors ∪ {id})
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    link = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("p")).select(
+        F.col("u").alias("id"), F.when(F.col("p") < F.col("id"), F.col("p")).otherwise(F.col("id")).alias("p")
+    )
+
+    for _ in range(max_iterations):
+        # pointer jumping: p' = parent(parent(id))
+        l2 = link.select(F.col("id").alias("pid"), F.col("p").alias("gp"))
+        jumped = (
+            link.join(l2, link.p == l2.pid, "left")
+            .select("id", F.coalesce("gp", "p").alias("p"))
+        )
+        # min over (own parent, parents of neighbors)
+        nbr_min = (
+            sym.join(jumped.withColumnRenamed("id", "v2"), sym.v == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("p").alias("np"))
+            .select(F.col("u").alias("id"), "np")
+        )
+        new_link = (
+            jumped.join(nbr_min, "id", "left")
+            .select("id", F.least(F.col("p"), F.coalesce("np", "p")).alias("p"))
+        )
+        changed = (
+            new_link.alias("n")
+            .join(link.alias("o"), "id")
+            .filter(F.col("n.p") != F.col("o.p"))
+            .limit(1)
+            .count()
+        )
+        link = new_link.localCheckpoint(eager=True) if changed else new_link
+        if not changed:
+            break
+
+    return nodes.join(link, "id", "left").select(
+        "id", F.coalesce("p", "id").alias("component")
+    )
+
+
+def resolve_duplicate_groups(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Near-dup pairs -> (id, component, is_canonical): one canonical (min
+    id) survivor per duplicate cluster; the anti-join of non-canonical ids
+    against the corpus is the dedup filter."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.withColumn("is_canonical", F.col("id") == F.col("component"))
