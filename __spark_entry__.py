@@ -408,6 +408,31 @@ def q31_dedup_groups(spark, sf_dir):
     return resolve_duplicate_groups(pairs).orderBy("id")
 
 
+def q32_url_canonical(spark, sf_dir):
+    """Web-pipeline URL canonicalization: the same logical page crawled as
+    http/https, www/no-www, with tracking params must map to ONE dedup key."""
+    from document_ai_spark.functions import scalars as S
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://WWW.Example.COM")).otherwise(
+            F.lit("http://example.com")
+        ),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/?utm_source=feed&utm_medium=rss")).otherwise(
+            F.lit("?page=1&fbclid=abc123")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        messy.alias("url_raw"),
+        S.url_host(messy).alias("host"),
+        S.url_strip_tracking(messy).alias("url_no_tracking"),
+        S.url_canonicalize(messy).alias("url_canonical"),
+    ).orderBy("doc_id")
+
+
 def q29_sessionize(spark, sf_dir):
     """Gap-based per-user sessionization (30 min) — batch twin of the
     applyInPandasWithState streaming operator (streaming/sessionize.py)."""
@@ -524,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_sessionize": q29_sessionize,
         "q30_metrics_rollup": q30_metrics_rollup,
         "q31_dedup_groups": q31_dedup_groups,
+        "q32_url_canonical": q32_url_canonical,
     }
 
 
@@ -870,6 +896,36 @@ SELECT n.id, min(w.comp) AS component,
   (n.id = min(w.comp)) AS is_canonical
 FROM nodes n JOIN walk w ON w.id = n.id
 GROUP BY n.id ORDER BY n.id
+""",
+        "q32_url_canonical": r"""
+WITH b AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.Example.COM' ELSE 'http://example.com' END)
+    || '/docs/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&utm_medium=rss' ELSE '?page=1&fbclid=abc123' END)
+    AS url_raw
+  FROM documents
+), s AS (
+  SELECT doc_id, url_raw,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(url_raw, '(?:[?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        '\?&', '?'),
+      '\?($|#)', '\1') AS url_no_tracking
+  FROM b
+), h AS (
+  SELECT doc_id, url_raw, url_no_tracking,
+    regexp_replace(lower(regexp_extract(url_raw, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host,
+    regexp_replace(regexp_replace(url_no_tracking, '^[hH][tT][tT][pP][sS]?://', ''), '^www\.', '') AS u1
+  FROM s
+), c AS (
+  SELECT doc_id, url_raw, host, url_no_tracking,
+    lower(regexp_extract(u1, '^([^/?#]+)', 1)) || substr(u1, length(regexp_extract(u1, '^([^/?#]+)', 1)) + 1) AS u2
+  FROM h
+)
+SELECT doc_id, url_raw, host, url_no_tracking,
+  regexp_replace(u2, '/+$', '') AS url_canonical
+FROM c ORDER BY doc_id
 """,
     }
 

@@ -59,3 +59,37 @@ def coalesce_text(*cols: Column) -> Column:
     """F10 — first non-null text, empty-string fallback
     (reference utils/query.py:104-136)."""
     return F.coalesce(*cols, F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-pipeline dedup prerequisite: the same page is
+# crawled under http/https, with/without www, and with tracking params)
+
+
+def url_host(url: Column) -> Column:
+    """Hostname, lowercased, leading www. stripped."""
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_strip_tracking(url: Column) -> Column:
+    """Remove utm_*/fbclid/gclid query params (and a then-empty '?')."""
+    cleaned = F.regexp_replace(
+        url, r"(?:[?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", ""
+    )
+    # a removed first param may leave '&rest' — promote to '?'
+    cleaned = F.regexp_replace(cleaned, r"\?&", "?")
+    # trailing empty '?' (capture-group form: RE2 oracles have no lookahead)
+    return F.regexp_replace(cleaned, r"\?($|#)", "$1")
+
+
+def url_canonicalize(url: Column) -> Column:
+    """scheme-insensitive + host-normalized + tracking-stripped + no
+    trailing slash: the join/dedup key for crawl URLs."""
+    u = url_strip_tracking(F.trim(url))
+    u = F.regexp_replace(u, r"^[hH][tT][tT][pP][sS]?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    host_part = F.regexp_extract(u, r"^([^/?#]+)", 1)
+    rest = F.substring(u, F.length(host_part) + 1, 1 << 30)
+    u = F.concat(F.lower(host_part), rest)
+    return F.regexp_replace(u, r"/+$", "")
