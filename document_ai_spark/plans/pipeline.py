@@ -122,3 +122,75 @@ def run_extraction(
 def load_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the full extraction output across groups (group is a partition col)."""
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def list_days(pages_path: str) -> list[str]:
+    """Distinct warc_day partition values from the directory layout (the
+    Iceberg equivalent reads partition metadata, not data)."""
+    days = []
+    for name in sorted(os.listdir(pages_path)):
+        if name.startswith("warc_day="):
+            days.append(name.split("=", 1)[1])
+    return days
+
+
+def run_extraction_by_day(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    run_dir: str,
+    concurrency: int = 2,
+    files_per_day: int = 8,
+    run_id: str | None = None,
+) -> dict:
+    """Production day-partitioned extraction with concurrent group jobs.
+
+    The resume unit is the warc_day PARTITION (exactly the north rule's
+    "resume at partition granularity"): unlike the url-bucket groups above,
+    a day filter is partition-PRUNED at the scan — each group job reads
+    only its own files, so G groups cost one total scan, not G scans.
+
+    Groups are submitted from a small driver-side thread pool: Spark
+    stages are barriers within one job, so a lone job idles cores in the
+    write stage's tail; with 2-3 concurrent day jobs one day's (small)
+    write overlaps the next day's scan+extract and the executor stays
+    saturated. Same technique on a real cluster (concurrent jobs share the
+    scheduler). Each day's output dir is overwritten atomically per day =>
+    re-running a half-finished day is exactly-once; checkpoint appends are
+    serialized with a lock.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = cp.done_groups(spark, run_dir)
+    days = list_days(pages_path)
+    lock = threading.Lock()
+    summary = {"run_id": run_id, "groups_done_before": len(done), "groups_run": 0}
+
+    def do_day(idx_day):
+        idx, day = idx_day
+        started = time.time()
+        part = read_pages(spark, pages_path).filter(F.col("warc_day") == day)
+        extracted = compact_for_write(extract_pages(part), files_per_day)
+        gdir = os.path.join(out_dir, f"warc_day={day}")
+        extracted.drop("warc_day").write.mode("overwrite").parquet(gdir)
+        stats = (
+            spark.read.parquet(gdir)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("kind") != "error", 1).otherwise(0)).alias("n_ok"),
+                F.sum(F.when(F.col("kind") == "error", 1).otherwise(0)).alias("n_err"),
+                F.sum("bytes_in").alias("bytes_in"),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        with lock:
+            cp.append_done(spark, run_dir, run_id, idx, stats, started)
+            summary["groups_run"] += 1
+
+    todo = [(i, d) for i, d in enumerate(days) if i not in done]
+    with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+        list(pool.map(do_day, todo))
+    return summary
