@@ -433,6 +433,15 @@ def q32_url_canonical(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q33_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition quality filters: duplicate-sentence
+    fraction + top-bigram fraction per document."""
+    from document_ai_spark.operators.textstats import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_features(d).orderBy("doc_id")
+
+
 def q29_sessionize(spark, sf_dir):
     """Gap-based per-user sessionization (30 min) — batch twin of the
     applyInPandasWithState streaming operator (streaming/sessionize.py)."""
@@ -550,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_metrics_rollup": q30_metrics_rollup,
         "q31_dedup_groups": q31_dedup_groups,
         "q32_url_canonical": q32_url_canonical,
+        "q33_repetition": q33_repetition,
     }
 
 
@@ -926,6 +936,33 @@ WITH b AS (
 SELECT doc_id, url_raw, host, url_no_tracking,
   regexp_replace(u2, '/+$', '') AS url_canonical
 FROM c ORDER BY doc_id
+""",
+        "q33_repetition": r"""
+WITH sents AS (
+  SELECT doc_id, trim(s) AS sent
+  FROM documents, unnest(string_split_regex(coalesce(text,''), '\.\s+')) AS t(s)
+  WHERE length(trim(s)) > 0
+), sent_stats AS (
+  SELECT doc_id,
+    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4) AS dup_sent_frac
+  FROM (SELECT doc_id, sent, count(*) AS c FROM sents GROUP BY 1, 2) GROUP BY doc_id
+), words AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS w
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, unnest(list_zip(w[1:length(w)-1], w[2:length(w)])) AS bg
+  FROM words WHERE length(w) > 1
+), bg_stats AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(ss.dup_sent_frac, 0.0) AS dup_sent_frac,
+  coalesce(bs.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM documents d
+LEFT JOIN sent_stats ss ON ss.doc_id = d.doc_id
+LEFT JOIN bg_stats bs ON bs.doc_id = d.doc_id
+ORDER BY d.doc_id
 """,
     }
 

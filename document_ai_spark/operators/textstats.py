@@ -170,3 +170,62 @@ def winnowing_fingerprint_udf(k: int = 8, window: int = 4):
         return texts.map(fp)
 
     return _udf
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+      dup_sent_frac   — fraction of sentence occurrences whose sentence
+                        appears more than once in the doc (machine-generated
+                        / boilerplate text repeats itself);
+      top_bigram_frac — occurrences of the most frequent word bigram over
+                        all bigram occurrences.
+    Explode + two narrow hash-aggregate shuffles per signal; nothing but
+    (id, token) rows move. Bigram identity uses a \\x01 joiner (never in
+    whitespace-split tokens of sane text)."""
+    sents = (
+        df.select(F.col(id_col), F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\.\s+")).alias("s"))
+        .select(id_col, F.trim("s").alias("sent"))
+        .filter(F.length("sent") > 0)
+    )
+    sent_stats = (
+        sents.groupBy(id_col, "sent")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 4
+            ).alias("dup_sent_frac")
+        )
+    )
+    w = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    bigrams = (
+        df.select(F.col(id_col), w.alias("w"))
+        .filter(F.size("w") > 1)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.concat_ws("\x01", F.col("w")[i], F.col("w")[i + 1]),
+                )
+            ).alias("bg"),
+        )
+    )
+    bg_stats = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"))
+    )
+    return (
+        df.select(id_col)
+        .join(sent_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_sent_frac", F.lit(0.0)).alias("dup_sent_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

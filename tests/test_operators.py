@@ -211,3 +211,22 @@ def test_batch_topk_grouped_matches_window_formulation(spark):
         for r in batch_topk_grouped(corpus, queries, k=5).collect()
     }
     assert a == b and len(a) == 15
+
+
+def test_repetition_features_known_values(spark):
+    from document_ai_spark.operators.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            # 4 sentences: "same thing" x3 + 1 unique -> dup frac 3/4
+            (1, "same thing. same thing. same thing. another one."),
+            # bigram "aa bb" appears 3x of 5 bigrams total
+            (2, "aa bb aa bb aa bb"),
+            (3, ""),  # degenerate -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.dup_sent_frac, r.top_bigram_frac) for r in repetition_features(docs).collect()}
+    assert rows[1][0] == 0.75
+    assert rows[2] == (0.0, 0.6)  # "aa bb" 3/5
+    assert rows[3] == (0.0, 0.0)
