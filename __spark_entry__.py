@@ -272,9 +272,16 @@ def q15_lsh_groups(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     sigs = minhash_signatures(d, "text", "doc_id", num_hashes=8, k=4, stride=2)
+    # doc_ids is array<long>; serialize it to a csv string for the driver —
+    # its canonicalizer hashes scalar columns only (round-1 q15 err).
     return (
         lsh_candidate_groups(sigs, "doc_id", bands=4)
-        .select(F.col("band_id").cast("long").alias("band_id"), "band_hash", "n_docs", "doc_ids")
+        .select(
+            F.col("band_id").cast("long").alias("band_id"),
+            "band_hash",
+            "n_docs",
+            F.concat_ws(",", F.col("doc_ids").cast("array<string>")).alias("doc_ids"),
+        )
         .orderBy("band_id", "band_hash")
     )
 
@@ -482,7 +489,13 @@ def q24_media_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
     )
-    return media_features(d).orderBy("media_id")
+    # features is array<float>; JSON-serialize it for the driver — its
+    # canonicalizer hashes scalar columns only (round-1 q24 err).
+    return (
+        media_features(d)
+        .withColumn("features", F.to_json("features"))
+        .orderBy("media_id")
+    )
 
 
 def q25_extract_lang_day(spark, sf_dir):
@@ -716,7 +729,7 @@ FROM s ORDER BY doc_id
         "q09_json_events": """
 SELECT event_type, count(*) AS n,
   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-  sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null_k
+  CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
 FROM events GROUP BY event_type ORDER BY event_type
 """,
         "q10_daily_events": """
@@ -745,8 +758,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "q13_semi_anti": """
 SELECT c_nationkey,
-  sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS n_with,
-  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS n_without
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_without
 FROM customer c GROUP BY c_nationkey ORDER BY c_nationkey
 """,
         "q14_minhash_signatures": "WITH "
@@ -769,7 +782,7 @@ sig AS (
   UNION ALL SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sig
 )
 SELECT CAST(band_id AS BIGINT) AS band_id, band_hash,
-  count(*) AS n_docs, list(doc_id ORDER BY doc_id) AS doc_ids
+  count(*) AS n_docs, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
 FROM banded GROUP BY band_id, band_hash HAVING count(*) > 1
 ORDER BY band_id, band_hash
 """,
@@ -920,7 +933,7 @@ WITH b AS (
     regexp_replace(
       regexp_replace(
         regexp_replace(url_raw, '(?:[?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-        '\?&', '?'),
+        '^([^?#&]*)&', '\1?'),
       '\?($|#)', '\1') AS url_no_tracking
   FROM b
 ), h AS (

@@ -77,8 +77,10 @@ def url_strip_tracking(url: Column) -> Column:
     cleaned = F.regexp_replace(
         url, r"(?:[?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", ""
     )
-    # a removed first param may leave '&rest' — promote to '?'
-    cleaned = F.regexp_replace(cleaned, r"\?&", "?")
+    # a removed FIRST param consumes the '?', leaving the next param as
+    # 'path&rest' — promote the orphaned '&' (first one before any ?/#)
+    # back to '?' so param order cannot change the canonical key
+    cleaned = F.regexp_replace(cleaned, r"^([^?#&]*)&", "$1?")
     # trailing empty '?' (capture-group form: RE2 oracles have no lookahead)
     return F.regexp_replace(cleaned, r"\?($|#)", "$1")
 

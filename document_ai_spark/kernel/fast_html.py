@@ -38,6 +38,11 @@ _TAG_RE = re.compile(
 
 _CDATA_ELEMS = ("script", "style")  # HTMLParser's CDATA_CONTENT_ELEMENTS
 
+# case-insensitive close-tag scan on the original string — str.lower() can
+# CHANGE LENGTH (e.g. 'İ' U+0130 -> 2 chars), so offsets found in a
+# lowered copy must never be used to slice the original
+_CDATA_CLOSE_RE = {name: re.compile("</" + name, re.I) for name in _CDATA_ELEMS}
+
 
 def scan(s: str, handler) -> None:
     """Drive ``handler`` (handle_starttag/handle_endtag/handle_data) over
@@ -87,11 +92,11 @@ def scan(s: str, handler) -> None:
                     # raw text until the matching close tag (case-insens);
                     # content is NOT unescaped (CDATA), and our handler
                     # drops it anyway (script/style are SKIP_TAGS)
-                    low = s.lower()
-                    close = low.find("</" + name, pos)
-                    if close == -1:
+                    mc = _CDATA_CLOSE_RE[name].search(s, pos)
+                    if mc is None:
                         handler.handle_data(s[pos:])
                         return
+                    close = mc.start()
                     handler.handle_data(s[pos:close])
                     gt = find(">", close)
                     handler.handle_endtag(name)

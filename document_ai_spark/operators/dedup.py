@@ -353,6 +353,15 @@ def connected_components(
         link = new_link.localCheckpoint(eager=True) if changed else new_link
         if not changed:
             break
+    else:
+        # silently returning partially-converged labels would split one
+        # duplicate cluster into several canonical docs downstream
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations (links still changing); raise max_iterations — "
+            f"convergence is O(log^2 n) rounds, so this indicates either a "
+            f"pathological graph or far more rounds needed than configured"
+        )
 
     return nodes.join(link, "id", "left").select(
         "id", F.coalesce("p", "id").alias("component")

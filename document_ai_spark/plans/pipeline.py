@@ -134,6 +134,28 @@ def list_days(pages_path: str) -> list[str]:
     return days
 
 
+def day_group_key(day: str) -> int:
+    """Stable checkpoint key for a warc_day partition VALUE.
+
+    Resume must be keyed on the day itself, not its position in the sorted
+    day list: in the normal incremental-crawl case a lexically-earlier day
+    partition appearing between runs would shift every index, silently
+    skipping an unprocessed day while re-running a done one. ISO dates map
+    to their proleptic-Gregorian ordinal (injective, ~739k for 2024 — also
+    disjoint from run_extraction's small url-bucket ids, so sharing a
+    run_dir cannot alias); non-ISO values fall back to a stable blake2b
+    hash placed above 2^30.
+    """
+    import datetime as _dt
+    import hashlib as _hl
+
+    try:
+        return _dt.date.fromisoformat(day).toordinal()
+    except ValueError:
+        h = int.from_bytes(_hl.blake2b(day.encode(), digest_size=4).digest(), "big")
+        return 0x40000000 + (h % 0x3FFFFFFF)
+
+
 def run_extraction_by_day(
     spark: SparkSession,
     pages_path: str,
@@ -168,8 +190,7 @@ def run_extraction_by_day(
     lock = threading.Lock()
     summary = {"run_id": run_id, "groups_done_before": len(done), "groups_run": 0}
 
-    def do_day(idx_day):
-        idx, day = idx_day
+    def do_day(day):
         started = time.time()
         part = read_pages(spark, pages_path).filter(F.col("warc_day") == day)
         extracted = compact_for_write(extract_pages(part), files_per_day)
@@ -187,10 +208,10 @@ def run_extraction_by_day(
             .asDict()
         )
         with lock:
-            cp.append_done(spark, run_dir, run_id, idx, stats, started)
+            cp.append_done(spark, run_dir, run_id, day_group_key(day), stats, started)
             summary["groups_run"] += 1
 
-    todo = [(i, d) for i, d in enumerate(days) if i not in done]
+    todo = [d for d in days if day_group_key(d) not in done]
     with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
         list(pool.map(do_day, todo))
     return summary

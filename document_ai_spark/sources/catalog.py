@@ -77,8 +77,13 @@ class Catalog:
     def append(self, df: DataFrame, table: str) -> None:
         ident = self.identifier(table)
         if self.iceberg:
-            self.spark.sql(f"CREATE TABLE IF NOT EXISTS {ident} AS SELECT * FROM (SELECT 1) WHERE 1=0")
-            df.writeTo(ident).append()
+            # bootstrap with writeTo().create() so the table takes df's
+            # schema (a CTAS from a dummy SELECT would create a mismatched
+            # single-column table and every later append would fail)
+            if self.spark.catalog.tableExists(ident):
+                df.writeTo(ident).append()
+            else:
+                df.writeTo(ident).create()
         else:
             df.write.mode("append").parquet(ident)
 

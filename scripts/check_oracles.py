@@ -18,42 +18,62 @@ import duckdb  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+class DriverUnhashable(Exception):
+    """A column the driver's canonicalizer cannot sort/factorize (round-1
+    q15/q24 crash class: array-typed output columns)."""
+
+
 def normalize(df):
-    """pandas DataFrame -> sorted list of row tuples with canonical scalars."""
+    """pandas DataFrame -> sorted list of row tuples with canonical scalars.
+
+    Mirrors the DRIVER's canonicalizer semantics (learned from round 1):
+      * array/list/dict-valued cells crash its sort_values+factorize —
+        flagged here as DriverUnhashable instead of silently tolerated;
+      * its value-hash is dtype-SENSITIVE: DuckDB sum(int)->HUGEINT lands
+        in pandas as float64 0.0 which hashes differently from Spark's
+        int64 0 — so canon() tags the type kind and int-vs-float is a
+        mismatch here too (fix the oracle with CAST(... AS BIGINT)).
+    """
     cols = sorted(df.columns)
     out = []
     for row in df[cols].itertuples(index=False):
         vals = []
-        for v in row:
-            if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
-                vals.append(tuple(canon(x) for x in v))
-            else:
-                vals.append(canon(v))
+        for col, v in zip(cols, row):
+            if isinstance(v, (list, tuple, dict)) or str(type(v)).endswith("ndarray'>"):
+                raise DriverUnhashable(
+                    f"column {col!r} holds {type(v).__name__} values — the "
+                    f"driver canonicalizer crashes on these; serialize to "
+                    f"string (concat_ws/to_json) in the driver-facing select"
+                )
+            vals.append(canon(v))
         out.append(tuple(vals))
     out.sort(key=repr)
     return cols, out
 
 
 def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return None
-        return round(v, 9)
-    try:
-        import numpy as np
-
-        if isinstance(v, np.integer):
-            return int(v)
-        if isinstance(v, np.floating):
-            return round(float(v), 9)
-    except ImportError:
-        pass
+    """Canonical (kind, value) pair — kind-tagged so an int64 0 and a
+    float64 0.0 do NOT compare equal (the driver's hash distinguishes
+    them; see round-1 q09/q13)."""
     import decimal
 
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        if math.isnan(v):
+            return None
+        return ("f", round(float(v), 9))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     if isinstance(v, decimal.Decimal):
-        return round(float(v), 9)
+        # DuckDB DECIMAL materializes as object dtype; the driver's pandas
+        # frame would carry it as object too — treat as float-kind but
+        # flag-worthy; prefer casting to DOUBLE/BIGINT in the oracle SQL
+        return ("f", round(float(v), 9))
     return v
 
 
@@ -83,6 +103,14 @@ def main() -> int:
             print(f"{name:28s} SPARK ERROR: {str(exc)[:200]}")
             continue
         if name not in osql:
+            # the driver still canonicalizes rows-only results (round-1
+            # q24 crashed there) — so arrays must not appear here either
+            try:
+                normalize(sdf)
+            except DriverUnhashable as exc:
+                failures.append((name, f"UNHASHABLE: {exc}"))
+                print(f"{name:28s} UNHASHABLE: {exc}")
+                continue
             print(f"{name:28s} rows-only: {len(sdf)} rows")
             continue
         try:
@@ -91,8 +119,13 @@ def main() -> int:
             failures.append((name, f"DUCKDB ERROR: {exc}"))
             print(f"{name:28s} DUCKDB ERROR: {str(exc)[:200]}")
             continue
-        scols, srows = normalize(sdf)
-        dcols, drows = normalize(ddf)
+        try:
+            scols, srows = normalize(sdf)
+            dcols, drows = normalize(ddf)
+        except DriverUnhashable as exc:
+            failures.append((name, f"UNHASHABLE: {exc}"))
+            print(f"{name:28s} UNHASHABLE: {exc}")
+            continue
         if scols != dcols:
             failures.append((name, f"columns differ: spark={scols} duck={dcols}"))
             print(f"{name:28s} COLS MISMATCH {scols} vs {dcols}")

@@ -36,3 +36,71 @@ def test_parquet_fallback_layout_and_roundtrip(spark, tmp_path):
     assert cat.read("plain_t").count() == 2
     cat.drop("plain_t")
     assert not os.path.exists(cat.identifier("plain_t"))
+
+
+def _iceberg_cat(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    cat.iceberg = "ice"  # no jars in sandbox: drive the branch via mocks
+    return cat
+
+
+def test_iceberg_identifier_resolution(spark, tmp_path):
+    cat = _iceberg_cat(spark, tmp_path)
+    assert cat.identifier("pages") == "ice.db.pages"
+    assert Catalog(spark, str(tmp_path), namespace="raw").identifier("t").endswith("/t")
+
+
+def test_iceberg_append_bootstraps_with_df_schema(spark, tmp_path):
+    """Regression (round-2 ADVICE): first append must writeTo().create()
+    from the df's own schema — a dummy CTAS would make a 1-int-column table
+    and every later append would fail on schema mismatch."""
+    from unittest.mock import MagicMock
+
+    cat = _iceberg_cat(spark, tmp_path)
+    cat.spark = MagicMock()
+    df = MagicMock()
+
+    # table absent -> create() (schema from df), never append(), no SQL CTAS
+    cat.spark.catalog.tableExists.return_value = False
+    cat.append(df, "pages")
+    df.writeTo.assert_called_once_with("ice.db.pages")
+    df.writeTo.return_value.create.assert_called_once_with()
+    df.writeTo.return_value.append.assert_not_called()
+    cat.spark.sql.assert_not_called()
+
+    # table present -> append()
+    df.reset_mock()
+    cat.spark.catalog.tableExists.return_value = True
+    cat.append(df, "pages")
+    df.writeTo.return_value.append.assert_called_once_with()
+    df.writeTo.return_value.create.assert_not_called()
+
+
+def test_iceberg_write_day_partitioned_uses_writer_v2(spark, tmp_path):
+    from unittest.mock import MagicMock, patch
+
+    cat = _iceberg_cat(spark, tmp_path)
+    cat.spark = MagicMock()
+    df = MagicMock()
+    w = df.writeTo.return_value.partitionedBy.return_value
+
+    with patch("document_ai_spark.sources.catalog.F.days") as days:
+        cat.write_day_partitioned(df, "pages", mode="overwrite")
+    df.writeTo.assert_called_once_with("ice.db.pages")
+    df.writeTo.return_value.partitionedBy.assert_called_once_with(days.return_value)
+    w.createOrReplace.assert_called_once_with()
+
+    df.reset_mock()
+    cat.spark.catalog.tableExists.return_value = True
+    with patch("document_ai_spark.sources.catalog.F.days"):
+        cat.write_day_partitioned(df, "pages", mode="append")
+    df.writeTo.return_value.partitionedBy.return_value.append.assert_called_once_with()
+
+
+def test_iceberg_drop_issues_drop_table(spark, tmp_path):
+    from unittest.mock import MagicMock
+
+    cat = _iceberg_cat(spark, tmp_path)
+    cat.spark = MagicMock()
+    cat.drop("pages")
+    cat.spark.sql.assert_called_once_with("DROP TABLE IF EXISTS ice.db.pages")

@@ -1,5 +1,7 @@
 """Checkpoint/resume + exactly-once semantics (SURVEY.md X5, §5.4)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -74,3 +76,35 @@ def test_day_partitioned_concurrent_pipeline(spark, pages_dir, tmp_path):
         concurrency=3,
     )
     assert s2["groups_run"] == 0 and s2["groups_done_before"] == s1["groups_run"]
+
+
+def test_day_resume_keyed_on_day_value_not_index(spark, pages_dir, tmp_path):
+    """Regression (round-2 ADVICE): resume must key on the day VALUE. If a
+    lexically-earlier day partition appears between runs (normal
+    incremental-crawl case), index-keyed resume would silently skip the new
+    day and re-run a done one."""
+    import shutil
+
+    from document_ai_spark.plans.pipeline import day_group_key, run_extraction_by_day
+
+    days = sorted(d for d in os.listdir(pages_dir) if d.startswith("warc_day="))
+    assert len(days) >= 2
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    # first run sees every day EXCEPT the earliest
+    for d in days[1:]:
+        shutil.copytree(os.path.join(pages_dir, d), os.path.join(src, d))
+    out, run = str(tmp_path / "out"), str(tmp_path / "run")
+    s1 = run_extraction_by_day(spark, src, out, run, concurrency=2)
+    assert s1["groups_run"] == len(days) - 1
+
+    # the earlier day arrives; ONLY it must run, everything done stays done
+    shutil.copytree(os.path.join(pages_dir, days[0]), os.path.join(src, days[0]))
+    s2 = run_extraction_by_day(spark, src, out, run, concurrency=2)
+    assert s2["groups_run"] == 1 and s2["groups_done_before"] == len(days) - 1
+
+    new_day = days[0].split("=", 1)[1]
+    assert day_group_key(new_day) != day_group_key(days[1].split("=", 1)[1])
+    # output now covers all days exactly once
+    df = load_extracted(spark, out)
+    assert df.count() == df.select("url").distinct().count() == 200

@@ -73,6 +73,27 @@ def test_documented_html5_divergences(doc):
     assert "<!--" not in joined and "href=" not in joined
 
 
+def test_cdata_offsets_survive_length_changing_lowercase():
+    # 'İ' (U+0130) lowercases to TWO chars ('i' + U+0307), so any scheme
+    # that finds offsets in s.lower() and slices s with them misaligns.
+    # Regression for the round-2 fix: close-tag search must be a
+    # case-insensitive scan of the ORIGINAL string.
+    doc = (
+        "<p>İstanbul prose before the script, long enough to be kept as a "
+        "real block of content for scoring.</p>"
+        "<script>var x = 1;</script>"
+        "<p>İİİİ more prose after the script tag, also long enough to be "
+        "kept as a real content block here.</p>"
+        "<SCRIPT>skip()</ScRiPt><p>tail block with İ plenty of text to "
+        "be retained as content too, yes indeed.</p>"
+    )
+    fast, ref = _sig(doc, True), _sig(doc, False)
+    assert fast == ref
+    joined = " ".join(t for _, t, *_ in fast)
+    assert "var x" not in joined and "skip()" not in joined
+    assert "İstanbul" in joined
+
+
 def test_fast_is_default_and_total():
     # never throws, even on garbage
     rng = random.Random(3)

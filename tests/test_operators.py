@@ -230,3 +230,36 @@ def test_repetition_features_known_values(spark):
     assert rows[1][0] == 0.75
     assert rows[2] == (0.0, 0.6)  # "aa bb" 3/5
     assert rows[3] == (0.0, 0.0)
+
+
+# -- url canonicalization ---------------------------------------------------
+
+def test_url_strip_tracking_param_order_invariant(spark):
+    """Regression (round-2 ADVICE): a tracking param FIRST used to leave
+    'p&page=1' (malformed, and order-dependent dedup keys)."""
+    from document_ai_spark.functions.scalars import url_strip_tracking
+
+    cases = [
+        ("https://e.com/p?utm_source=a&page=1", "https://e.com/p?page=1"),
+        ("https://e.com/p?page=1&utm_source=a", "https://e.com/p?page=1"),
+        ("https://e.com/p?utm_source=a&utm_medium=b&page=1", "https://e.com/p?page=1"),
+        ("https://e.com/p?utm_source=a", "https://e.com/p"),
+        ("https://e.com/p?utm_source=a#frag", "https://e.com/p#frag"),
+        ("https://e.com/p?fbclid=x&a=1&gclid=y&b=2", "https://e.com/p?a=1&b=2"),
+        ("https://e.com/p?a=1", "https://e.com/p?a=1"),
+        ("https://e.com/p", "https://e.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_strip_tracking(F.col("url"))).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    from document_ai_spark.operators.dedup import connected_components
+
+    # a 40-node path needs several pointer-jumping rounds; 1 is not enough
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=1).collect()
