@@ -10,10 +10,15 @@ oracle_sql()   — DuckDB-runnable ANSI SQL equivalents. Column names, types
                  both engines round half-away-from-zero) are aligned so the
                  driver's order-insensitive value-hash matches.
 
-Non-SQL-expressible entries (simhash banding, LSH-ANN, media features,
-extraction kernel) intentionally have no oracle_sql — the driver records
-rows-only; their correctness lives in tests/ (golden files + python
-oracles).
+Non-SQL-expressible entries intentionally have no oracle_sql — the driver
+records rows-only; their correctness lives in tests/ (golden files + python
+oracles). As of round 2 only three remain:
+  q23 (LSH-ANN): hyperplanes are blake2b-seeded pseudo-gaussians — no SQL
+      analog; recall-vs-brute-force is pytest-gated.
+  q24 (media features): decode stub derives dims from blake2b — no SQL
+      analog; determinism + shape are pytest-gated.
+  q26 (retrieval context): embeddings come from the blake2b hashed-feature
+      embedder; embed->topk->rerank->fold equivalence is pytest-gated.
 """
 
 from __future__ import annotations
@@ -469,10 +474,16 @@ def q29_sessionize(spark, sf_dir):
 # -- rows-only (non-SQL-expressible; python-oracle'd in tests/) -------------
 
 def q22_simhash_neardup(spark, sf_dir):
+    """SQL-oracled since round 2: token hash is md5-derived, so DuckDB can
+    recompute the exact 64-bit fingerprints and brute-force the pairs."""
     from document_ai_spark.operators.dedup import simhash_near_dups
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_near_dups(d, "text", "doc_id", max_hamming=16).orderBy("id_a", "id_b")
+    return (
+        simhash_near_dups(d, "text", "doc_id", max_hamming=16)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q23_ann_lsh_topk(spark, sf_dir):
@@ -498,22 +509,35 @@ def q24_media_features(spark, sf_dir):
     )
 
 
+def _q25_out_dir() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "da_spark_extract_2k_out")
+
+
 def q25_extract_lang_day(spark, sf_dir):
     """The real flagship: full HTML/PDF extraction over a deterministic
-    synthetic pages corpus (seed=42), rolled up per (lang, warc_day, kind).
-    Rows-only for the driver; byte-identity vs goldens is pytest-gated."""
+    synthetic pages corpus (seed=42), written day-partitioned, then rolled
+    up per (lang, warc_day, kind) FROM THE WRITTEN FILES — so the DuckDB
+    oracle can read the very same parquet and recompute the rollup
+    (extracted text itself is byte-identity-gated vs goldens in pytest)."""
     import tempfile
 
     from document_ai_spark.operators.extraction import extract_pages
-    from document_ai_spark.plans.pipeline import read_pages
+    from document_ai_spark.plans.pipeline import compact_for_write, read_pages
     from document_ai_spark.sources.pages import write_pages_parquet
 
     corpus = os.path.join(tempfile.gettempdir(), "da_spark_pages_2k")
     if not os.path.isdir(corpus):
         write_pages_parquet(corpus, 2000, seed=42)
-    out = extract_pages(read_pages(spark, corpus), salt_partitions=16)
+    out_dir = _q25_out_dir()
+    extracted = extract_pages(read_pages(spark, corpus), salt_partitions=16)
+    compact_for_write(extracted, files_per_day=4).write.mode("overwrite").partitionBy(
+        "warc_day"
+    ).parquet(out_dir)
+    written = spark.read.option("basePath", out_dir).parquet(out_dir)
     return (
-        out.groupBy("lang", "warc_day", "kind")
+        written.groupBy("lang", F.col("warc_day").cast("string").alias("warc_day"), "kind")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
         .orderBy("lang", "warc_day", "kind")
     )
@@ -536,6 +560,56 @@ def q26_retrieval_context(spark, sf_dir):
     top = retrieve_topk(chunks, "customer order revenue", k=7, id_col="chunk_id")
     rr = lexical_rerank(top, "customer order revenue", id_col="chunk_id")
     return format_docs(rr, text_col="chunk_text", source_col="url", id_col="chunk_id")
+
+
+def q34_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-flavor promo share per brand over lineitem JOIN part —
+    part is the classic broadcast dim (200 rows at sf0.001, ~200k at SF100:
+    always under the 10 MB broadcast threshold), so no shuffle of the
+    lineitem fact; the shipdate range predicate pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2).alias(
+                "promo_revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q35_stream_windows(spark, sf_dir):
+    """ST1 under the driver's eye: a REAL Structured Streaming cycle —
+    file-source readStream (availableNow) -> watermark + tumbling-window
+    agg -> memory sink — whose result must equal the batch windowing
+    (oracle = the same SQL as q20: stream/batch equivalence). Mirrors the
+    reference's webhook arrival path (app.py:193-266) as a stream."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from document_ai_spark.streaming.incremental import run_windowed_stream
+
+    tmp = tempfile.mkdtemp(prefix="da_stream_q35_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(tmp, "events.parquet"))
+    name = "q35_" + _uuid.uuid4().hex[:8]
+    out = run_windowed_stream(spark, tmp, os.path.join(tmp, "_ckpt"), query_name=name)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -573,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_dedup_groups": q31_dedup_groups,
         "q32_url_canonical": q32_url_canonical,
         "q33_repetition": q33_repetition,
+        "q34_promo_revenue": q34_promo_revenue,
+        "q35_stream_windows": q35_stream_windows,
     }
 
 
@@ -835,6 +911,48 @@ SELECT doc_id,
        '[A-Za-z一-鿿]+|[0-9]+|[^\\sA-Za-z0-9一-鿿]')) AS BIGINT) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """,
+        # simhash: md5-derived token hashes let DuckDB recompute the exact
+        # 64-bit fingerprints; the oracle brute-forces all pairs (fine at
+        # sf0.01's 200 docs) while Spark uses pigeonhole banding — same
+        # answer, so the banding's no-false-negative property is checked too
+        "q22_simhash_neardup": r"""
+WITH toks AS (
+  SELECT d.doc_id, unnest(regexp_extract_all(lower(coalesce(d.text, '')), '[\p{L}\p{N}_]+')) AS tok
+  FROM documents d WHERE d.doc_id < 200
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, g.i AS bit,
+    sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, generate_series(0, 63) g(i)
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN acc > 0 THEN
+      CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << bit) END
+    ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), sfp AS (
+  SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+  LEFT JOIN fp f ON f.doc_id = d.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+ORDER BY id_a, id_b
+""",
+        # rollup over the parquet q25 just wrote: extraction itself is
+        # golden-gated in pytest; here DuckDB independently re-aggregates
+        # the committed output files (the Spark query runs first and
+        # overwrites the fixed path each time)
+        "q25_extract_lang_day": f"""
+SELECT lang, CAST(warc_day AS VARCHAR) AS warc_day, kind,
+  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM read_parquet('{_q25_out_dir()}/*/*.parquet', hive_partitioning=true)
+GROUP BY 1, 2, 3 ORDER BY lang, warc_day, kind
+""",
         "q27_shipping_priority": """
 SELECT l.l_orderkey,
   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -976,6 +1094,25 @@ FROM documents d
 LEFT JOIN sent_stats ss ON ss.doc_id = d.doc_id
 LEFT JOIN bg_stats bs ON bs.doc_id = d.doc_id
 ORDER BY d.doc_id
+""",
+        "q34_promo_revenue": """
+SELECT p.p_brand,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  round(sum(CASE WHEN p.p_type = 'PROMO'
+            THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS promo_revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY p.p_brand ORDER BY p.p_brand
+""",
+        # stream/batch equivalence: the streaming windowed agg must land on
+        # exactly the batch answer (same SQL as q20)
+        "q35_stream_windows": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
     }
 

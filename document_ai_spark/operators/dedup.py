@@ -172,7 +172,10 @@ _SIMHASH_CACHE_MAX = 1_000_000
 def _token_votes(tok: str) -> np.ndarray:
     v = _SIMHASH_TOKEN_CACHE.get(tok)
     if v is None:
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        # first 8 bytes of md5 (not blake2b): equally deterministic and
+        # uniform, and expressible in ANSI SQL ('0x'||substr(md5(t),1,16))
+        # so the q22 driver oracle can recompute fingerprints exactly
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         v = np.fromiter(
             (1 if (h >> bit) & 1 else -1 for bit in range(64)), dtype=np.int64, count=64
         )

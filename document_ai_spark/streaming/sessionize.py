@@ -14,6 +14,18 @@ Two implementations with identical semantics:
     emits the closed session. Exactly the
     ``flatMapGroupsWithState``-style operator the reference's thread-based
     design could never express.
+
+Hot-key note (tested in test_sessionize_batch_tolerates_hot_user_skew): a
+power user with a large share of events lands wholly in one task — that is
+REQUIRED for correctness (gap detection must see the user's full ordered
+event list), so url-hash-style salting does NOT apply here (a salted split
+would sever sessions at salt boundaries). At 100 TB the mitigations are:
+(1) AQE skew handling for the surrounding stages, (2) per-key state bounded
+to the open session only (the stream form holds O(1) state per user, not
+the event list), and (3) for a pathological single key (bot traffic), a
+pre-filter that routes it to a dedicated two-pass job: sessionize per
+(user, day) shards, then merge sessions that straddle shard boundaries —
+a deterministic reduce over ~days rows per user.
 """
 
 from __future__ import annotations

@@ -105,3 +105,63 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 3  # u1: 1 closed, u2: 2 closed, u3: 0
+
+
+def test_sessionize_batch_tolerates_hot_user_skew(spark):
+    """One power user holding ~15% of all events (the classic skewed key).
+    Per-user sessionization REQUIRES all of a user's events in one task —
+    the correct mitigations are bounding state per key and AQE skew
+    handling, not salting (a salted split would sever sessions at salt
+    boundaries). This pins (a) correctness under skew vs a python oracle
+    and (b) that the plan still has exactly one user_id shuffle reused by
+    both the window and the aggregate."""
+    import datetime as dt
+    import random
+
+    from document_ai_spark.streaming.sessionize import sessionize_batch
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for eid in range(8000):
+        uid = 0 if rng.random() < 0.15 else rng.randrange(1, 100)
+        rows.append(
+            (
+                eid,
+                t0 + dt.timedelta(minutes=rng.randrange(0, 7 * 24 * 60)),
+                uid,
+                "click",
+                1.0,
+                "{}",
+            )
+        )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+
+    # python oracle: sort each user's events, split on >30min gaps
+    by_user = {}
+    for eid, ts, uid, _, _, _ in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    want = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        start = prev = evs[0][0]
+        n = 0
+        for ts, _ in evs:
+            if (ts - prev).total_seconds() > 1800:
+                want.add((uid, start, prev, n))
+                start, n = ts, 0
+            prev = ts
+            n += 1
+        want.add((uid, start, prev, n))
+    assert got == want
+    assert sum(1 for u, *_ in got if u == 0) >= 1  # hot user present
+
+    plan = sessionize_batch(events, gap_minutes=30)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1  # window + agg share one shuffle
