@@ -527,7 +527,9 @@ def q25_extract_lang_day(spark, sf_dir):
     from document_ai_spark.plans.pipeline import compact_for_write, read_pages
     from document_ai_spark.sources.pages import write_pages_parquet
 
-    corpus = os.path.join(tempfile.gettempdir(), "da_spark_pages_2k")
+    from document_ai_spark.sources.pages import CORPUS_VERSION
+
+    corpus = os.path.join(tempfile.gettempdir(), f"da_spark_pages_v{CORPUS_VERSION}_2k")
     if not os.path.isdir(corpus):
         write_pages_parquet(corpus, 2000, seed=42)
     out_dir = _q25_out_dir()

@@ -68,7 +68,8 @@ def bench_extraction(spark, sf: float) -> tuple[float, dict]:
     from document_ai_spark.sources.pages import write_pages_parquet
 
     n_docs = max(4000, int(200_000 * sf)) if sf > 0 else 4000
-    corpus = os.path.join(tempfile.gettempdir(), f"da_spark_bench_pages_{n_docs}")
+    from document_ai_spark.sources.pages import CORPUS_VERSION
+    corpus = os.path.join(tempfile.gettempdir(), f"da_spark_bench_pages_v{CORPUS_VERSION}_{n_docs}")
     if not os.path.isdir(corpus):
         write_pages_parquet(corpus, n_docs, seed=42)
 

@@ -3,19 +3,30 @@
 Capability analog of the reference's layout-aware PDF parse (the reference
 delegates to docling/docling-parse, reference file
 services/ai_service/document_conversion/docling_pdf_loader.py:26-33). This is
-a from-scratch kernel over a constrained-but-honest PDF text-object subset:
+a from-scratch kernel over an honest PDF content-stream subset:
 
   * payloads start with the ``%PDF`` magic;
-  * text is carried by standard text objects::
+  * document structure: ``N 0 obj … endobj`` objects; a ``/Type/Pages``
+    node whose ``/Kids [a 0 R b 0 R …]`` array fixes PAGE ORDER (which may
+    differ from document byte order); each ``/Type/Page`` either embeds its
+    content stream inline or references it via ``/Contents n 0 R``.
+    Payloads with no page tree fall back to all ``stream…endstream``
+    sections in document order as a single page (the round-1 subset);
+  * content streams are tokenized (not regexed): strings with the full
+    PDF escape set (``\\(`` ``\\)`` ``\\\\`` ``\\n`` ``\\r`` ``\\t``
+    octal ``\\ddd``, nested balanced parens), numbers, names, arrays, and
+    the text operators
 
-        BT /F1 <size> Tf <x> <y> Td (<text>) Tj ET
+        Tf (font size)        Td / TD (relative line translate, ACCUMULATES
+        Tm (text matrix —      within a text object; TD also sets leading)
+            e,f position)     TL (leading)   T* (next line)   ' (T* + show)
+        Tj (show string)      TJ (show array: strings concatenated, a
+                                  kerning adjustment <= -180/1000 em is a
+                                  word space — the standard heuristic)
 
-    with integer x/y in PDF user space (y grows upward) — the subset emitted
-    by :mod:`document_ai_spark.sources.pages`.
+The kernel then does genuine layout analysis per page, not string grepping:
 
-The kernel does genuine layout analysis, not string grepping:
-
-  1. parse every text object into (x, y, size, text) items;
+  1. every shown string becomes an item (x, y, size, text);
   2. drop running header/footer bands (y >= 750 or y <= 50) — the PDF analog
      of HTML nav/footer boilerplate;
   3. cluster the remaining items into COLUMNS by x-coordinate gaps
@@ -24,46 +35,249 @@ The kernel does genuine layout analysis, not string grepping:
   4. within a column, sort lines top-to-bottom (y descending, then x) and
      split into paragraph REGIONS wherever the vertical gap between
      consecutive lines exceeds PARA_GAP_FACTOR * font size;
-  5. reading order = columns left-to-right, regions top-to-bottom, lines
-     joined with a single space inside a region, regions joined "\n\n".
+  5. reading order = pages in /Kids order, columns left-to-right, regions
+     top-to-bottom; lines joined with a single space inside a region,
+     regions (and pages) joined "\\n\\n".
 
-Everything is integer arithmetic + stable sorts => byte-identical output at
-any partition count / parallelism level.
+Everything is integer-rounded arithmetic + stable sorts => byte-identical
+output at any partition count / parallelism level.
+
+Out of scope (documented): compressed (/FlateDecode) streams, font widths /
+ToUnicode CMaps, rotation in Tm (only e,f translation is honored).
 """
 
 from __future__ import annotations
 
 import re
-from typing import List, Tuple
+from typing import Iterator, List, Tuple
 
 PDF_MAGIC = b"%PDF"
 COLUMN_GAP = 100          # min horizontal gap (pts) starting a new column
 PARA_GAP_FACTOR = 2       # vertical gap > factor*size => paragraph break
 HEADER_Y = 750            # y >= this is running-header band
 FOOTER_Y = 50             # y <= this is running-footer band
+TJ_SPACE_THRESHOLD = -180  # TJ kerning <= this (1/1000 em) acts as a space
 
-_TEXT_OBJ = re.compile(
-    rb"BT\s+/F\d+\s+(\d+)\s+Tf\s+(-?\d+)\s+(-?\d+)\s+Td\s+\((.*?)\)\s+Tj\s+ET",
-    re.S,
-)
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+
+_DELIMS = b" \t\r\n()[]<>/%"
+_ESCAPES = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t", ord("b"): b"\b",
+    ord("f"): b"\f", ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+}
 
 
 def is_pdf(payload: bytes) -> bool:
     return payload[:4] == PDF_MAGIC
 
 
-def _parse_items(payload: bytes) -> List[Tuple[int, int, int, str]]:
-    """-> list of (x, y, size, text) for every text object, document order."""
-    items = []
-    for m in _TEXT_OBJ.finditer(payload):
-        size = int(m.group(1))
-        x = int(m.group(2))
-        y = int(m.group(3))
-        text = m.group(4).decode("utf-8", errors="replace")
+# ---------------------------------------------------------------------------
+# document structure: page splitting
+
+
+def _split_pages(payload: bytes) -> List[bytes]:
+    """-> one content-stream bytes blob per page, in reading (/Kids) order.
+
+    Fallback when no /Pages tree exists: every stream section in document
+    order, concatenated as a single page (the constrained round-1 subset,
+    kept so simple single-stream payloads and goldens stay stable)."""
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+    kids: List[int] = []
+    for body in objs.values():
+        if re.search(rb"/Type\s*/Pages\b", body):
+            km = _KIDS_RE.search(body)
+            if km:
+                kids = [int(r) for r in _REF_RE.findall(km.group(1))]
+            break
+    if kids:
+        pages = []
+        for pnum in kids:
+            body = objs.get(pnum, b"")
+            cm = _CONTENTS_RE.search(body)
+            content = objs.get(int(cm.group(1)), b"") if cm else body
+            sm = _STREAM_RE.search(content)
+            pages.append(sm.group(1) if sm else b"")
+        return pages
+    parts = _STREAM_RE.findall(payload)
+    return [b"\n".join(parts) if parts else payload]
+
+
+# ---------------------------------------------------------------------------
+# content-stream tokenizer
+
+
+def _scan_string(s: bytes, i: int) -> Tuple[str, int]:
+    """Scan a PDF literal string starting at s[i] == '(' — handles the
+    escape set and balanced nested parens. Returns (decoded, next_index)."""
+    assert s[i : i + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == 0x5C:  # backslash
+            if i + 1 >= n:
+                break
+            nxt = s[i + 1]
+            esc = _ESCAPES.get(nxt)
+            if esc is not None:
+                out += esc
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # octal \d, \dd or \ddd
+                j = i + 1
+                oct_digits = []
+                while j < n and len(oct_digits) < 3 and 0x30 <= s[j] <= 0x37:
+                    oct_digits.append(s[j])
+                    j += 1
+                out.append(int(bytes(oct_digits), 8) & 0xFF)
+                i = j
+            elif nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and i < n and s[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: PDF spec says drop the backslash
+                out.append(nxt)
+                i += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+        out.append(c)
+        i += 1
+    return out.decode("utf-8", errors="replace"), i
+
+
+def _tokens(stream: bytes) -> Iterator[Tuple[str, object]]:
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i : i + 1]
+        if c in b" \t\r\n\f\0":
+            i += 1
+        elif c == b"(":
+            text, i = _scan_string(stream, i)
+            yield ("str", text)
+        elif c == b"[":
+            yield ("arr_open", None)
+            i += 1
+        elif c == b"]":
+            yield ("arr_close", None)
+            i += 1
+        elif c == b"/":
+            j = i + 1
+            while j < n and stream[j : j + 1] not in _DELIMS:
+                j += 1
+            yield ("name", stream[i + 1 : j].decode("latin-1"))
+            i = j
+        elif c == b"%":  # comment to end of line
+            j = stream.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        elif c in b"<>":  # hex strings / dicts: skip the delimiter
+            i += 1
+        else:
+            j = i
+            while j < n and stream[j : j + 1] not in _DELIMS:
+                j += 1
+            tok = stream[i:j].decode("latin-1")
+            i = j
+            try:
+                yield ("num", float(tok))
+            except ValueError:
+                yield ("op", tok)
+
+
+# ---------------------------------------------------------------------------
+# text-operator interpreter
+
+
+def _parse_items(stream: bytes) -> List[Tuple[int, int, int, str]]:
+    """-> list of (x, y, size, text) for every shown string, document order."""
+    items: List[Tuple[int, int, int, str]] = []
+    size = 12.0
+    line_x = line_y = 0.0        # start of current text line
+    leading = 0.0
+    nums: List[float] = []       # numeric operand stack
+    strs: List[str] = []         # string operand stack (Tj / ')
+    arr: List[object] | None = None  # TJ array being collected
+
+    def show(text: str) -> None:
         text = " ".join(text.split())
         if text:
-            items.append((x, y, size, text))
+            items.append((int(round(line_x)), int(round(line_y)), int(round(size)), text))
+
+    def tstar() -> None:
+        nonlocal line_y
+        line_y -= leading
+
+    for kind, val in _tokens(stream):
+        if kind == "num":
+            (arr if arr is not None else nums).append(val)
+        elif kind == "str":
+            if arr is not None:
+                arr.append(val)
+            else:
+                strs.append(val)
+        elif kind == "arr_open":
+            arr = []
+        elif kind == "arr_close":
+            pass  # keep arr until its operator (TJ) consumes it
+        elif kind == "name":
+            pass  # font names etc.: operands only
+        elif kind == "op":
+            op = val
+            if op == "BT":
+                line_x = line_y = 0.0
+                leading = 0.0
+            elif op == "Tf":
+                if nums:
+                    size = nums[-1]
+            elif op in ("Td", "TD"):
+                if len(nums) >= 2:
+                    line_x += nums[-2]
+                    line_y += nums[-1]
+                    if op == "TD":
+                        leading = -nums[-1]
+            elif op == "Tm":
+                if len(nums) >= 6:
+                    line_x, line_y = nums[-2], nums[-1]
+            elif op == "TL":
+                if nums:
+                    leading = nums[-1]
+            elif op == "T*":
+                tstar()
+            elif op == "Tj":
+                if strs:
+                    show(strs[-1])
+            elif op == "'":
+                tstar()
+                if strs:
+                    show(strs[-1])
+            elif op == "TJ":
+                if arr is not None:
+                    pieces: List[str] = []
+                    for el in arr:
+                        if isinstance(el, str):
+                            pieces.append(el)
+                        elif el <= TJ_SPACE_THRESHOLD:
+                            pieces.append(" ")
+                    show("".join(pieces))
+            # every operator consumes its operands
+            nums = []
+            strs = []
+            arr = None
     return items
+
+
+# ---------------------------------------------------------------------------
+# layout analysis (per page)
 
 
 def _cluster_columns(items: List[Tuple[int, int, int, str]]) -> List[List[Tuple[int, int, int, str]]]:
@@ -108,19 +322,22 @@ def _column_regions(col: List[Tuple[int, int, int, str]]) -> List[List[str]]:
 def extract_pdf(payload: bytes) -> Tuple[str, List[dict]]:
     """bytes -> (extracted text in reading order, span dicts).
 
-    Spans carry tag='pdf:c<col>r<region>'; densities are 1.0/0.0 (a PDF
+    Spans carry tag='pdf:c<col>r<region>' (single page) or
+    'pdf:p<page>c<col>r<region>' (multi-page); densities are 1.0/0.0 (a PDF
     text region has no links).
     """
-    items = _parse_items(payload)
-    body = [it for it in items if FOOTER_Y < it[1] < HEADER_Y]
-    cols = _cluster_columns(body)
+    pages = _split_pages(payload)
+    multi = len(pages) > 1
 
     parts: List[str] = []
     tags: List[str] = []
-    for ci, col in enumerate(cols):
-        for ri, region in enumerate(_column_regions(col)):
-            parts.append(" ".join(region))
-            tags.append(f"pdf:c{ci}r{ri}")
+    for pi, stream in enumerate(pages):
+        items = _parse_items(stream)
+        body = [it for it in items if FOOTER_Y < it[1] < HEADER_Y]
+        for ci, col in enumerate(_cluster_columns(body)):
+            for ri, region in enumerate(_column_regions(col)):
+                parts.append(" ".join(region))
+                tags.append(f"pdf:p{pi}c{ci}r{ri}" if multi else f"pdf:c{ci}r{ri}")
 
     spans: List[dict] = []
     pos = 0

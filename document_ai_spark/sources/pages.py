@@ -11,8 +11,10 @@ sandbox; identical directory layout).
 
 Row mix (FIXTURES.md §1): ~80% templated HTML (link-dense nav/header/
 footer/ads boilerplate + a text-dense <article> main block), ~10% synthetic
-PDFs (two-column + header/footer text objects exercising the layout
-kernel), a Zipf long tail of page sizes with a handful of giant pages
+PDFs — half simple two-column Td/Tj pages, half multi-page documents
+exercising the widened grammar (/Kids order != byte order, /Contents
+indirection, Tm, accumulated Td, TL/T*/', TJ kerning arrays, escaped
+parens) — a Zipf long tail of page sizes with a handful of giant pages
 (x100 median — exercises salted repartitioning), and one of each edge case:
 empty, whitespace-only, truncated tags, invalid UTF-8, no-main-block, a
 byte-duplicate payload under two urls, and a zero-text-object PDF.
@@ -28,6 +30,10 @@ import random
 from typing import Iterator, List, Tuple
 
 LANGS = ["en", "de", "es", "fr", "zh"]
+
+# bump when generator OUTPUT changes (new variants, size mix, …): cached
+# corpus directories embed this so stale /tmp corpora are never reused
+CORPUS_VERSION = 2
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -106,6 +112,63 @@ def _pdf_page(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     return (f"%PDF-1.4\n1 0 obj\n<</Type/Page>>\nstream\n{body}\nendstream\n%%EOF\n").encode("utf-8")
 
 
+def _pdf_page_v2(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
+    """Multi-page PDF exercising the widened content-stream grammar:
+    /Kids page order != document byte order, /Contents indirection, Tm
+    positioning, accumulated Td line advance, TL/T* and ', TJ arrays whose
+    large negative kerning is a word space, and escaped parens."""
+
+    def line() -> str:
+        return _sentence(rng, vocab, rng.randint(4, 9)).replace("(", "").replace(")", "")
+
+    half = max(2, n_lines // 2)
+    # page 1: Tm-positioned lines, every third line as a TJ kerning array,
+    # plus one escaped-paren aside
+    p1 = [
+        "BT /F1 10 Tf 1 0 0 1 72 760 Tm (Running Header) Tj ET",
+        "BT /F1 8 Tf 1 0 0 1 72 40 Tm (page 1) Tj ET",
+        r"BT /F1 12 Tf 1 0 0 1 72 734 Tm (Note \(aside\) in parens) Tj ET",
+    ]
+    y = 700
+    for k in range(half):
+        t = line()
+        if k % 3 == 0 and " " in t:
+            words = t.split()
+            mid = max(1, len(words) // 2)
+            a, b = " ".join(words[:mid]), " ".join(words[mid:])
+            kern = -rng.randrange(200, 400)  # <= -180: word space
+            p1.append(f"BT /F1 12 Tf 1 0 0 1 72 {y} Tm [({a}) {kern} ({b})] TJ ET")
+        else:
+            p1.append(f"BT /F1 12 Tf 1 0 0 1 72 {y} Tm ({t}) Tj ET")
+        y -= 40 if rng.random() < 0.2 else 14
+        if y <= 60:
+            break
+    # page 2: one text object with accumulated Td advance, then a TL/T*/'
+    # block — both line-advance styles on one page
+    td_rows = [line() for _ in range(max(2, (n_lines - half) // 2))]
+    td_body = "BT /F1 12 Tf 72 720 Td " + " ".join(
+        f"({r}) Tj 0 {-40 if rng.random() < 0.2 else -14} Td" for r in td_rows
+    ) + " ET"
+    tl_rows = [line() for _ in range(max(2, (n_lines - half) - len(td_rows)))]
+    tl_body = (
+        "BT /F1 12 Tf 14 TL 72 400 Td "
+        + f"({tl_rows[0]}) Tj "
+        + " ".join(f"({r}) '" for r in tl_rows[1:])
+        + " ET"
+    )
+    p2 = "\n".join(
+        ["BT /F1 10 Tf 72 760 Td (Running Header) Tj ET", td_body, tl_body]
+    )
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<</Type /Pages /Kids [4 0 R 2 0 R]>>\nendobj\n"
+        "2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
+        f"3 0 obj\nstream\n{p2}\nendstream\nendobj\n"
+        f"4 0 obj\n<</Type /Page>>\nstream\n" + "\n".join(p1) + "\nendstream\nendobj\n"
+        "%%EOF\n"
+    ).encode("utf-8")
+
+
 _EDGE_CASES = [
     ("empty", b""),
     ("whitespace", b"   \n\t  \n"),
@@ -147,7 +210,10 @@ def generate_rows(n_docs: int, seed: int = 42) -> Iterator[dict]:
         else:
             n_paras = rng.randint(20, 60)
         if rng.random() < 0.10:
-            payload = _pdf_page(rng, vocab, max(4, n_paras))
+            if rng.random() < 0.5:
+                payload = _pdf_page(rng, vocab, max(4, n_paras))
+            else:
+                payload = _pdf_page_v2(rng, vocab, max(4, n_paras))
         else:
             payload, _ = _html_page(rng, vocab, n_paras)
         yield _row(rng, i, payload, lang=lang, tag=None)

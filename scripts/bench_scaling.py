@@ -164,7 +164,8 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    corpus = os.path.join(tempfile.gettempdir(), f"da_spark_scale_pages_{n_docs}")
+    from document_ai_spark.sources.pages import CORPUS_VERSION
+    corpus = os.path.join(tempfile.gettempdir(), f"da_spark_scale_pages_v{CORPUS_VERSION}_{n_docs}")
     if not os.path.isdir(corpus):
         from document_ai_spark.sources.pages import write_pages_parquet
 

@@ -69,3 +69,86 @@ def test_span_offsets_reconstruct():
     text, spans = extract_pdf(payload)
     for s in spans:
         assert text[s["char_start"] : s["char_end"]] in ("alpha", "beta", "gamma")
+
+
+# -- widened grammar (round 2): TJ arrays, Tm, Td accumulation, escapes,
+#    multi-page /Kids ordering, /Contents indirection --------------------
+
+
+def test_tj_array_concatenates_with_kerning_spaces():
+    payload = pdf("BT /F1 12 Tf 72 700 Td [(Hel) 10 (lo) -250 (world)] TJ ET")
+    text, _ = extract_pdf(payload)
+    # small kerning (10) joins, large negative (-250) is a word space
+    assert text == "Hello world"
+
+
+def test_tm_positions_text():
+    payload = pdf(
+        "BT /F1 12 Tf 1 0 0 1 72 700 Tm (first line) Tj ET",
+        "BT /F1 12 Tf 1 0 0 1 72 686 Tm (second line) Tj ET",
+    )
+    assert extract_pdf(payload)[0] == "first line second line"
+
+
+def test_td_accumulates_within_text_object():
+    # one BT with successive Td translations: offsets are RELATIVE
+    payload = pdf(
+        "BT /F1 12 Tf 72 700 Td (line one) Tj 0 -14 Td (line two) Tj 0 -14 Td (line three) Tj ET"
+    )
+    assert extract_pdf(payload)[0] == "line one line two line three"
+
+
+def test_tstar_and_leading():
+    payload = pdf(
+        "BT /F1 12 Tf 14 TL 72 700 Td (alpha) Tj T* (beta) Tj T* (gamma) Tj ET"
+    )
+    assert extract_pdf(payload)[0] == "alpha beta gamma"
+
+
+def test_quote_operator_shows_on_next_line():
+    payload = pdf("BT /F1 12 Tf 14 TL 72 700 Td (one) Tj (two) ' ET")
+    assert extract_pdf(payload)[0] == "one two"
+
+
+def test_string_escapes_and_nested_parens():
+    payload = pdf(
+        r"BT /F1 12 Tf 72 700 Td (has \(escaped parens\) and \\ backslash) Tj ET",
+        "BT /F1 12 Tf 72 686 Td (nested (balanced) parens) Tj ET",
+        r"BT /F1 12 Tf 72 672 Td (octal \101\102\103 end) Tj ET",
+    )
+    text, _ = extract_pdf(payload)
+    assert "has (escaped parens) and \\ backslash" in text
+    assert "nested (balanced) parens" in text
+    assert "octal ABC end" in text
+
+
+def _two_page_pdf(page1_body: str, page2_body: str) -> bytes:
+    # /Kids order [4, 2] differs from document order: page obj 4 reads first
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<</Type /Pages /Kids [4 0 R 2 0 R]>>\nendobj\n"
+        "2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
+        f"3 0 obj\nstream\n{page2_body}\nendstream\nendobj\n"
+        f"4 0 obj\n<</Type /Page>>\nstream\n{page1_body}\nendstream\nendobj\n"
+        "%%EOF\n"
+    ).encode()
+
+
+def test_multipage_kids_order_and_contents_indirection():
+    payload = _two_page_pdf(
+        obj(72, 700, "page one text"),
+        obj(72, 700, "page two text"),
+    )
+    text, spans = extract_pdf(payload)
+    assert text == "page one text\n\npage two text"
+    assert [s["tag"] for s in spans] == ["pdf:p0c0r0", "pdf:p1c0r0"]
+
+
+def test_multipage_layout_runs_per_page():
+    # header band dropped on BOTH pages; columns clustered per page
+    payload = _two_page_pdf(
+        obj(72, 760, "Header A", 10) + "\n" + obj(72, 700, "p1 left") + "\n" + obj(320, 700, "p1 right"),
+        obj(72, 760, "Header B", 10) + "\n" + obj(72, 700, "p2 body"),
+    )
+    text, _ = extract_pdf(payload)
+    assert text == "p1 left\n\np1 right\n\np2 body"
