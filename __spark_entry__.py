@@ -12,13 +12,11 @@ oracle_sql()   — DuckDB-runnable ANSI SQL equivalents. Column names, types
 
 Non-SQL-expressible entries intentionally have no oracle_sql — the driver
 records rows-only; their correctness lives in tests/ (golden files + python
-oracles). As of round 2 only three remain:
+oracles). As of round 2 only two remain:
   q23 (LSH-ANN): hyperplanes are blake2b-seeded pseudo-gaussians — no SQL
       analog; recall-vs-brute-force is pytest-gated.
   q24 (media features): decode stub derives dims from blake2b — no SQL
       analog; determinism + shape are pytest-gated.
-  q26 (retrieval context): embeddings come from the blake2b hashed-feature
-      embedder; embed->topk->rerank->fold equivalence is pytest-gated.
 """
 
 from __future__ import annotations
@@ -1108,6 +1106,54 @@ JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY p.p_brand ORDER BY p.p_brand
+""",
+        # full retrieval chain: md5-derived hashed-feature embeddings are
+        # recomputed exactly in SQL (bucket = h%1024, sign = bit63,
+        # float32 round-trip via CAST AS REAL), then cosine top-7 with the
+        # same (round(score,4) DESC, chunk_id ASC) ordering and the same
+        # fold format — the context string must match byte-for-byte
+        "q26_retrieval_context": r"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text,'') AS t, source,
+         CAST(doc_id AS VARCHAR) || '_chunk_' || '0' AS chunk_id
+  FROM documents WHERE doc_id < 200
+), corpus_toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(t), '[\p{L}\p{N}_]+')) AS tok FROM docs
+), corpus_feats AS (
+  SELECT doc_id, CAST(h % 1024 AS INT) AS idx,
+         sum(CASE WHEN (h >> 63) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS val
+  FROM (SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS h FROM corpus_toks)
+  GROUP BY 1, 2
+), corpus_norm AS (
+  SELECT doc_id, sqrt(sum(val*val)) AS nrm FROM corpus_feats GROUP BY doc_id
+), corpus_vec AS (
+  SELECT f.doc_id, f.idx, CAST(CAST(f.val / n.nrm AS REAL) AS DOUBLE) AS v
+  FROM corpus_feats f JOIN corpus_norm n USING (doc_id) WHERE n.nrm > 0
+), q_toks AS (
+  SELECT unnest(regexp_extract_all(lower('customer order revenue'), '[\p{L}\p{N}_]+')) AS tok
+), q_feats AS (
+  SELECT CAST(h % 1024 AS INT) AS idx,
+         sum(CASE WHEN (h >> 63) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS val
+  FROM (SELECT ('0x' || substr(md5(tok),1,16))::UBIGINT AS h FROM q_toks)
+  GROUP BY 1
+), q_vec AS (
+  SELECT idx, CAST(CAST(val / (SELECT sqrt(sum(val*val)) FROM q_feats) AS REAL) AS DOUBLE) AS v
+  FROM q_feats
+), sims AS (
+  SELECT d.doc_id, d.chunk_id, d.t, d.source,
+    CASE WHEN cn.nrm IS NULL OR cn.nrm = 0 THEN 0.0 ELSE
+      round(
+        coalesce((SELECT sum(c.v * q.v) FROM corpus_vec c JOIN q_vec q USING (idx) WHERE c.doc_id = d.doc_id), 0.0)
+        / ( sqrt((SELECT sum(c.v*c.v) FROM corpus_vec c WHERE c.doc_id = d.doc_id))
+          * sqrt((SELECT sum(v*v) FROM q_vec)) ), 4)
+    END AS score
+  FROM docs d LEFT JOIN corpus_norm cn ON cn.doc_id = d.doc_id
+), top7 AS (
+  SELECT * FROM sims ORDER BY score DESC, chunk_id ASC LIMIT 7
+)
+SELECT string_agg(t || chr(10) || '[Source: ' || source || ', Chunk: ' || chunk_id || ']',
+                  chr(10)||chr(10) ORDER BY score DESC, chunk_id ASC) AS context
+FROM top7
 """,
         # stream/batch equivalence: the streaming windowed agg must land on
         # exactly the batch answer (same SQL as q20)

@@ -5,8 +5,10 @@ Capability analog of the reference's REST embedding provider
 micro-batches of 10). Re-expressed offline-deterministic: the feature
 hashing trick (Weinberger et al., ICML 2009) — each lowercase word token
 hashes to one of DIM buckets with a ±1 sign bit, counts L2-normalized.
-blake2b-based bucket/sign => independent of PYTHONHASHSEED, machine, and
-partition order. Arrow-batched pandas UDF (the Arrow batch replaces the
+md5-based bucket/sign (first 8 bytes) => independent of PYTHONHASHSEED,
+machine, and partition order — and expressible in ANSI SQL
+('0x'||substr(md5(t),1,16)), so the q26 DuckDB oracle can recompute the
+exact embeddings. Arrow-batched pandas UDF (the Arrow batch replaces the
 reference's size-10 REST micro-batching); numpy inner loop, no per-row
 Python UDF.
 """
@@ -37,7 +39,7 @@ def _token_feature(tok: str, dim: int):
     key = (tok, dim)
     f = _TOKEN_CACHE.get(key)
     if f is None:
-        d = hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
+        d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
         h = int.from_bytes(d, "big")
         f = (h % dim, 1.0 if (h >> 63) & 1 else -1.0)
         if len(_TOKEN_CACHE) < _TOKEN_CACHE_MAX:

@@ -1,9 +1,10 @@
 """Fast HTML event scanner — drop-in driver for the block tokenizer.
 
 ``html.parser.HTMLParser`` is ~93% of extraction kernel time (its
-char-by-char goahead loop + updatepos bookkeeping). This scanner walks the
-document with ``str.find`` + one compiled tag regex and feeds the SAME
-handler callbacks (``handle_starttag/handle_endtag/handle_data``), so block
+char-by-char goahead loop + updatepos bookkeeping). This scanner instead
+walks the document with ONE compiled alternation (`_SCAN_RE`) — a single
+C-level ``search`` per markup construct — and feeds the SAME handler
+callbacks (``handle_starttag/handle_endtag/handle_data``), so block
 construction and scoring logic live in exactly one place
 (:mod:`document_ai_spark.kernel.html_extract`).
 
@@ -30,12 +31,6 @@ from __future__ import annotations
 import re
 from html import unescape
 
-# full tag: </?name attrs> with quote-aware attr skipping; $ alternative is
-# intentionally absent — an unterminated tag is handled by the caller
-_TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][^\t\n\r\f />]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"
-)
-
 _CDATA_ELEMS = ("script", "style")  # HTMLParser's CDATA_CONTENT_ELEMENTS
 
 # case-insensitive close-tag scan on the original string — str.lower() can
@@ -44,64 +39,76 @@ _CDATA_ELEMS = ("script", "style")  # HTMLParser's CDATA_CONTENT_ELEMENTS
 _CDATA_CLOSE_RE = {name: re.compile("</" + name, re.I) for name in _CDATA_ELEMS}
 
 
+# One alternation matching EVERY construct a '<' can open, tried in the
+# same precedence order as the branchy loop it replaced (comment, decl/PI,
+# full tag, garbled-tag start, lone '<'). Every '<' matches one branch, so
+# the gap between consecutive matches never contains '<' — the whole
+# find-next-'<' + classify + match dance collapses into ONE C-level
+# search per construct (was ~45% of kernel time as separate calls).
+_SCAN_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"                 # comment (to --> or EOF)
+    r"|<[!?][^>]*(?:>|\Z)"               # declaration / processing instr
+    r"|<(/?)([a-zA-Z][^\t\n\r\f />]*)"   # full tag: closing?, name,
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"  # quote-aware attrs, self?
+    r"|<(?=[a-zA-Z/])"                   # garbled tag: drop to next '<'
+    r"|<",                               # lone '<' (e.g. '<3'): data
+    re.S,
+)
+
+
 def scan(s: str, handler) -> None:
     """Drive ``handler`` (handle_starttag/handle_endtag/handle_data) over
     the HTML string ``s``."""
     n = len(s)
     pos = 0
+    search = _SCAN_RE.search
     find = s.find
-    while pos < n:
-        lt = find("<", pos)
-        if lt == -1:
-            handler.handle_data(unescape(s[pos:]))
+    h_data = handler.handle_data
+    h_start = handler.handle_starttag
+    h_end = handler.handle_endtag
+    dropping = False  # inside a garbled tag: text to next '<' is discarded
+    while True:
+        m = search(s, pos)
+        if m is None:
+            if pos < n and not dropping:
+                h_data(unescape(s[pos:]))
             return
-        if lt > pos:
-            handler.handle_data(unescape(s[pos:lt]))
-        c = s[lt + 1 : lt + 2]
-        if c == "!":
-            if s.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                pos = n if end == -1 else end + 3
-            else:
-                end = find(">", lt + 2)
-                pos = n if end == -1 else end + 1
-        elif c == "?":
-            end = find(">", lt + 2)
-            pos = n if end == -1 else end + 1
-        elif c == "/" or (c and (("a" <= c <= "z") or ("A" <= c <= "Z"))):
-            m = _TAG_RE.match(s, lt)
-            if m is None:
-                # unterminated/garbled tag: HTMLParser buffers it to EOF
-                # if no further '<' completes it; tolerant fallback: skip
-                # to the next '<' and resume
-                nxt = find("<", lt + 1)
-                if nxt == -1:
-                    return
-                pos = nxt
-                continue
-            closing, name, _attrs, selfclose = m.groups()
+        lt = m.start()
+        if lt > pos and not dropping:
+            h_data(unescape(s[pos:lt]))
+        dropping = False
+        closing, name, _attrs, selfclose = m.group(1, 2, 3, 4)
+        pos = m.end()
+        if name is not None:  # full tag
             name = name.lower()
-            pos = m.end()
             if closing:
-                handler.handle_endtag(name)
+                h_end(name)
             else:
-                handler.handle_starttag(name, ())
+                h_start(name, ())
                 if selfclose:
-                    handler.handle_endtag(name)
+                    h_end(name)
                 elif name in _CDATA_ELEMS:
-                    # raw text until the matching close tag (case-insens);
-                    # content is NOT unescaped (CDATA), and our handler
-                    # drops it anyway (script/style are SKIP_TAGS)
+                    # raw text until the matching close tag, matched
+                    # case-insensitively on the ORIGINAL string (str.lower
+                    # can change length, e.g. 'İ'); content is NOT
+                    # unescaped (CDATA) and our handler drops it anyway
+                    # (script/style are SKIP_TAGS)
                     mc = _CDATA_CLOSE_RE[name].search(s, pos)
                     if mc is None:
-                        handler.handle_data(s[pos:])
+                        h_data(s[pos:])
                         return
                     close = mc.start()
-                    handler.handle_data(s[pos:close])
+                    h_data(s[pos:close])
                     gt = find(">", close)
-                    handler.handle_endtag(name)
+                    h_end(name)
                     pos = n if gt == -1 else gt + 1
-        else:
-            # lone '<' (e.g. "<3"): data; continue scanning after it
-            handler.handle_data("<")
-            pos = lt + 1
+        elif pos - lt == 1:  # single '<' consumed: garbled tag or lone '<'
+            nc = s[pos : pos + 1]
+            if nc == "/" or ("a" <= nc <= "z") or ("A" <= nc <= "Z"):
+                # unterminated/garbled tag: HTMLParser buffers it to EOF
+                # if no further '<' completes it; tolerant fallback: skip
+                # to the next '<' and resume, dropping the garbled text
+                dropping = True
+            else:
+                h_data("<")
+        # else: comment/declaration/PI — skipped entirely

@@ -36,8 +36,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # 1024 rows/batch: fewer exchange round trips than the former 256.
+        # Per-batch memory stays bounded by the SCAN SPLIT, not the row
+        # count — a task's whole input is <= maxPartitionBytes (8 MB
+        # compressed), so even a batch full of giant pages cannot exceed a
+        # few tens of MB decompressed.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # commit files by rename-once (v2): the v1 two-phase rename doubles
+        # driver-side commit latency for many-file day-partitioned writes
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # MB-sized binary rows feeding a CPU-heavy Python stage: default
         # 128 MB splits would pack a small corpus into a handful of scan
         # tasks and leave cores idle in the last wave. 8 MB targets a few
