@@ -42,8 +42,14 @@ The kernel then does genuine layout analysis per page, not string grepping:
 Everything is integer-rounded arithmetic + stable sorts => byte-identical
 output at any partition count / parallelism level.
 
-Out of scope (documented): compressed (/FlateDecode) streams, font widths /
-ToUnicode CMaps, rotation in Tm (only e,f translation is honored).
+Also handled: ``/Filter /FlateDecode`` content streams (zlib-inflated
+before tokenizing — the overwhelmingly common real-PDF encoding) and hex
+strings ``<48656C6C6F>`` (decoded per spec: whitespace ignored, odd final
+digit padded with 0).
+
+Out of scope (documented): font widths / ToUnicode CMaps (text is assumed
+to be in a byte-transparent encoding), rotation in Tm (only the e,f
+translation is honored), /ASCII85Decode and other filters.
 """
 
 from __future__ import annotations
@@ -60,6 +66,7 @@ TJ_SPACE_THRESHOLD = -180  # TJ kerning <= this (1/1000 em) acts as a space
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
@@ -77,6 +84,37 @@ def is_pdf(payload: bytes) -> bool:
 
 # ---------------------------------------------------------------------------
 # document structure: page splitting
+
+
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def _stream_bytes(obj_body: bytes) -> bytes:
+    """Content-stream bytes of one object: delimited by /Length when
+    declared (binary flate data may legally contain b'endstream'), else by
+    the endstream keyword; inflated when the object dict declares
+    /Filter /FlateDecode. A corrupt flate stream contributes nothing
+    (per-document error isolation, the kernel stays total)."""
+    m = _STREAM_START_RE.search(obj_body)
+    if not m:
+        return b""
+    start = m.end()
+    head = obj_body[: m.start()]
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        data = obj_body[start : start + int(lm.group(1))]
+    else:
+        em = obj_body.find(b"endstream", start)
+        data = obj_body[start : em if em != -1 else len(obj_body)]
+    if _FLATE_RE.search(head):
+        import zlib
+
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return b""
+    return data
 
 
 def _split_pages(payload: bytes) -> List[bytes]:
@@ -99,8 +137,7 @@ def _split_pages(payload: bytes) -> List[bytes]:
             body = objs.get(pnum, b"")
             cm = _CONTENTS_RE.search(body)
             content = objs.get(int(cm.group(1)), b"") if cm else body
-            sm = _STREAM_RE.search(content)
-            pages.append(sm.group(1) if sm else b"")
+            pages.append(_stream_bytes(content))
         return pages
     parts = _STREAM_RE.findall(payload)
     return [b"\n".join(parts) if parts else payload]
@@ -180,7 +217,27 @@ def _tokens(stream: bytes) -> Iterator[Tuple[str, object]]:
         elif c == b"%":  # comment to end of line
             j = stream.find(b"\n", i)
             i = n if j == -1 else j + 1
-        elif c in b"<>":  # hex strings / dicts: skip the delimiter
+        elif c == b"<":
+            if stream[i + 1 : i + 2] == b"<":  # dict open <<
+                i += 2
+            else:  # hex string <48656C6C6F>: whitespace ignored, odd padded
+                j = stream.find(b">", i + 1)
+                if j == -1:
+                    j = n
+                digits = bytes(
+                    d for d in stream[i + 1 : j] if d in b"0123456789abcdefABCDEF"
+                )
+                if len(digits) % 2:
+                    digits += b"0"
+                try:
+                    text = bytes.fromhex(digits.decode("ascii")).decode(
+                        "utf-8", errors="replace"
+                    )
+                except ValueError:
+                    text = ""
+                yield ("str", text)
+                i = j + 1 if j < n else n
+        elif c == b">":  # dict close (>> or stray)
             i += 1
         else:
             j = i

@@ -33,7 +33,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -116,18 +116,22 @@ def _pdf_page_v2(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     """Multi-page PDF exercising the widened content-stream grammar:
     /Kids page order != document byte order, /Contents indirection, Tm
     positioning, accumulated Td line advance, TL/T* and ', TJ arrays whose
-    large negative kerning is a word space, and escaped parens."""
+    large negative kerning is a word space, escaped parens, a hex-string
+    line, and a /FlateDecode-compressed second page with declared /Length."""
+    import zlib
 
     def line() -> str:
         return _sentence(rng, vocab, rng.randint(4, 9)).replace("(", "").replace(")", "")
 
     half = max(2, n_lines // 2)
     # page 1: Tm-positioned lines, every third line as a TJ kerning array,
-    # plus one escaped-paren aside
+    # plus one escaped-paren aside and one hex-string line
+    hex_line = line().encode("utf-8").hex().upper()
     p1 = [
         "BT /F1 10 Tf 1 0 0 1 72 760 Tm (Running Header) Tj ET",
         "BT /F1 8 Tf 1 0 0 1 72 40 Tm (page 1) Tj ET",
         r"BT /F1 12 Tf 1 0 0 1 72 734 Tm (Note \(aside\) in parens) Tj ET",
+        f"BT /F1 12 Tf 1 0 0 1 72 717 Tm <{hex_line}> Tj ET",
     ]
     y = 700
     for k in range(half):
@@ -159,14 +163,20 @@ def _pdf_page_v2(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     p2 = "\n".join(
         ["BT /F1 10 Tf 72 760 Td (Running Header) Tj ET", td_body, tl_body]
     )
+    # page 2 ships FlateDecode-compressed with a declared /Length (the
+    # realistic encoding: binary deflate data may contain 'endstream', so
+    # only /Length delimits it correctly)
+    comp = zlib.compress(p2.encode("utf-8"), 6)
     return (
-        "%PDF-1.4\n"
-        "1 0 obj\n<</Type /Pages /Kids [4 0 R 2 0 R]>>\nendobj\n"
-        "2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
-        f"3 0 obj\nstream\n{p2}\nendstream\nendobj\n"
-        f"4 0 obj\n<</Type /Page>>\nstream\n" + "\n".join(p1) + "\nendstream\nendobj\n"
-        "%%EOF\n"
-    ).encode("utf-8")
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Pages /Kids [4 0 R 2 0 R]>>\nendobj\n"
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
+        b"3 0 obj\n<</Length " + str(len(comp)).encode("ascii")
+        + b" /Filter /FlateDecode>>\nstream\n" + comp + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<</Type /Page>>\nstream\n" + "\n".join(p1).encode("utf-8")
+        + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
 
 
 _EDGE_CASES = [

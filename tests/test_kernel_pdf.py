@@ -152,3 +152,38 @@ def test_multipage_layout_runs_per_page():
     )
     text, _ = extract_pdf(payload)
     assert text == "p1 left\n\np1 right\n\np2 body"
+
+
+def test_hex_string_tj():
+    payload = pdf("BT /F1 12 Tf 72 700 Td <48 65 6C 6C 6F2> Tj ET")
+    # whitespace inside hex ignored; odd final digit padded with 0 (the
+    # trailing 0x20 is then collapsed by whitespace normalization)
+    assert extract_pdf(payload)[0] == "Hello"
+
+
+def test_flate_stream_with_length():
+    import zlib
+
+    body = obj(72, 700, "compressed page text here")
+    comp = zlib.compress(body.encode(), 6)
+    payload = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n"
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
+        b"3 0 obj\n<</Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode>>\nstream\n" + comp + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_pdf(payload)[0] == "compressed page text here"
+
+
+def test_corrupt_flate_stream_is_isolated():
+    payload = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n"
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
+        b"3 0 obj\n<</Length 10 /Filter /FlateDecode>>\nstream\n"
+        b"not-flate!\nendstream\nendobj\n%%EOF\n"
+    )
+    text, spans = extract_pdf(payload)  # must not raise
+    assert text == "" and spans == []
