@@ -12,8 +12,10 @@ deterministic synthetic `pages` corpus (FIXTURES.md §1) sized by sf —
 read -> salted repartition -> mapInPandas(extract_batch) -> parquet write
 partitioned by warc_day. Relational/dedup/similarity headliners run over the
 driver's sf tables. Execution is forced with a `noop`-format write (full
-materialization, no driver collect). Scaling-efficiency evidence (local[8]
-vs local[32]) is produced separately by scripts/bench_scaling.py.
+materialization, no driver collect). All timings are STEADY-STATE: one
+untimed warm execution (JIT/codegen/worker startup — what a long-running
+cluster pays once), then best-of-2 timed. Scaling-efficiency evidence
+(N vs 4N) is produced separately by scripts/bench_scaling.py.
 """
 
 from __future__ import annotations
@@ -113,10 +115,18 @@ def main() -> None:
     t_ext, extract_stats = bench_extraction(spark, sf)
     timings["extract"] = round(t_ext, 3)
 
+    # Steady-state methodology, same as the extraction bench: one untimed
+    # warm run (JVM JIT + codegen + parquet footer caches — a first
+    # execution costs 3-7x and measures compilation, not the query), then
+    # best-of-2 timed (shared-VM noise only ever slows a run).
     for name in HEADLINERS:
-        t0 = time.time()
         _force(qfns[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            _force(qfns[name](spark, SF_DIR))
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     total = round(sum(timings.values()), 3)
     print(
