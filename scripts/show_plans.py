@@ -44,7 +44,7 @@ def main() -> None:
     section(
         "EXTRACTION (production plan)",
         "scan ReadSchema = exactly url/warc_ts/html/lang (no `text`); NO "
-        "Exchange between Scan and MapInPandas; one Exchange (hashpartitioning "
+        "Exchange between Scan and the Arrow eval node (MapInArrow); one Exchange (hashpartitioning "
         "on warc_day + url-bucket) before the write",
         compact_for_write(extract_pages(read_pages(spark, corpus)), files_per_day=4),
     )
