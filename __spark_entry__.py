@@ -612,6 +612,15 @@ def q35_stream_windows(spark, sf_dir):
     ).orderBy("window_start", "event_type")
 
 
+def q36_gopher_quality(spark, sf_dir):
+    """Gopher word-level quality signals + keep-flag (Rae et al. 2021
+    §A.1.1 subset) over documents — one whitespace split, all JVM."""
+    from document_ai_spark.operators.textstats import gopher_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_signals(d).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -649,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_repetition": q33_repetition,
         "q34_promo_revenue": q34_promo_revenue,
         "q35_stream_windows": q35_stream_windows,
+        "q36_gopher_quality": q36_gopher_quality,
     }
 
 
@@ -1161,6 +1171,32 @@ FROM top7
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+""",
+        "q36_gopher_quality": r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), w AS (
+  SELECT doc_id, t,
+    CASE WHEN length(trim(t)) = 0 THEN [] ELSE string_split_regex(trim(t), '\s+') END AS words
+  FROM base
+), m AS (
+  SELECT doc_id,
+    CAST(length(words) AS BIGINT) AS n_words,
+    list_sum(list_transform(words, x -> length(x))) AS sumlen,
+    length(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+    length(regexp_extract_all(t, '[#@{}\\|]|\.\.\.')) AS nsym
+  FROM w
+)
+SELECT doc_id, n_words,
+  CASE WHEN n_words > 0 THEN round(CAST(sumlen AS DOUBLE) / n_words, 4) ELSE 0.0 END AS mean_word_len,
+  CASE WHEN n_words > 0 THEN round(CAST(nalpha AS DOUBLE) / n_words, 4) ELSE 0.0 END AS frac_alpha_words,
+  CASE WHEN n_words > 0 THEN round(CAST(nsym AS DOUBLE) / n_words, 4) ELSE 0.0 END AS symbol_word_ratio,
+  (n_words BETWEEN 50 AND 100000
+   AND (CASE WHEN n_words > 0 THEN round(CAST(sumlen AS DOUBLE) / n_words, 4) ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+   AND (CASE WHEN n_words > 0 THEN round(CAST(nalpha AS DOUBLE) / n_words, 4) ELSE 0.0 END) >= 0.8
+   AND (CASE WHEN n_words > 0 THEN round(CAST(nsym AS DOUBLE) / n_words, 4) ELSE 0.0 END) <= 0.1
+  ) AS gopher_keep
+FROM m ORDER BY doc_id
 """,
     }
 

@@ -229,3 +229,53 @@ def repetition_features(
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+def gopher_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style word-level quality signals per document (Rae et al.
+    2021 §A.1.1 heuristics, the subset meaningful for single-line web
+    text): word count, mean word length, fraction of words containing an
+    alphabetic character, and symbol-to-word ratio — plus the combined
+    keep-flag with the paper's bounds (50 <= n_words <= 100k,
+    3 <= mean_word_len <= 10, frac_alpha_words >= 0.8,
+    symbol_word_ratio <= 0.1). All JVM column expressions over ONE
+    whitespace split (no shuffle, no Python); DuckDB-oracle-exact at 4 dp.
+
+    The alpha-fraction bound is Latin-script-specific by construction (as
+    in the paper); CJK documents score frac_alpha ~0 and fail the flag —
+    callers gate the flag on lang, exactly as production Gopher pipelines
+    route per-language."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    empty = F.length(F.trim(t)) == 0
+    words = F.split(F.trim(t), r"\s+")
+    # stage 1: each expensive array/regex expression computed ONCE into a
+    # named column (reusing raw Column objects re-expands them per use
+    # site — no CSE across projections)
+    counted = df.select(
+        F.col(id_col),
+        F.when(empty, F.lit(0)).otherwise(F.size(words)).cast("long").alias("n_words"),
+        F.when(empty, F.lit(0)).otherwise(
+            F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        ).alias("_sumlen"),
+        F.when(empty, F.lit(0)).otherwise(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        ).alias("_nalpha"),
+        F.regexp_count(t, F.lit(r"[#@{}\\|]|\.\.\.")).alias("_nsym"),
+    )
+    nw = F.col("n_words")
+    out = counted.withColumns(
+        {
+            "mean_word_len": F.when(nw > 0, F.round(F.col("_sumlen") / nw, 4)).otherwise(F.lit(0.0)),
+            "frac_alpha_words": F.when(nw > 0, F.round(F.col("_nalpha") / nw, 4)).otherwise(F.lit(0.0)),
+            "symbol_word_ratio": F.when(nw > 0, F.round(F.col("_nsym") / nw, 4)).otherwise(F.lit(0.0)),
+        }
+    ).drop("_sumlen", "_nalpha", "_nsym")
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("symbol_word_ratio") <= 0.1)
+    )
+    return out.withColumn("gopher_keep", keep)

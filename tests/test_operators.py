@@ -263,3 +263,25 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=1).collect()
+
+
+def test_gopher_signals_known_values(spark):
+    from document_ai_spark.operators.textstats import gopher_signals
+
+    good = " ".join(["alpha beta gamma delta words here okay fine"] * 8)  # 64 words
+    rows = [
+        (1, good),                      # passes all bounds
+        (2, "short text"),              # too few words
+        (3, " ".join(["#"] * 60)),      # symbols, no alpha
+        (4, ""),                        # empty
+        (5, None),                      # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_signals(df).collect()}
+    assert got[1].n_words == 64 and got[1].gopher_keep
+    assert got[1].frac_alpha_words == 1.0
+    assert got[2].n_words == 2 and not got[2].gopher_keep
+    assert got[3].frac_alpha_words == 0.0 and got[3].symbol_word_ratio == 1.0
+    assert not got[3].gopher_keep
+    assert got[4].n_words == 0 and got[4].mean_word_len == 0.0 and not got[4].gopher_keep
+    assert got[5].n_words == 0 and not got[5].gopher_keep
