@@ -621,6 +621,34 @@ def q36_gopher_quality(spark, sf_dir):
     return gopher_signals(d).orderBy("doc_id")
 
 
+def q37_pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-corpus hygiene): deterministic PII-bearing
+    text synthesized from doc fields (the fixture itself is PII-free, like
+    q32's synthesized messy urls), masked by the ordered regex chain, with
+    per-kind counts. All JVM regexp_replace/regexp_count."""
+    from document_ai_spark.functions.scalars import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    messy = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1 call +1 (555) 010-"),
+        four,
+        F.lit(" ssn 123-45-"),
+        four,
+    )
+    counts = {k: v.cast("long").alias(k) for k, v in pii_counts(messy).items()}
+    return d.select(
+        "doc_id",
+        scrub_pii(messy).alias("clean_text"),
+        *counts.values(),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -659,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_promo_revenue": q34_promo_revenue,
         "q35_stream_windows": q35_stream_windows,
         "q36_gopher_quality": q36_gopher_quality,
+        "q37_pii_scrub": q37_pii_scrub,
     }
 
 
@@ -1197,6 +1226,42 @@ SELECT doc_id, n_words,
    AND (CASE WHEN n_words > 0 THEN round(CAST(nsym AS DOUBLE) / n_words, 4) ELSE 0.0 END) <= 0.1
   ) AS gopher_keep
 FROM m ORDER BY doc_id
+""",
+        # same synthesized PII text, same ORDERED mask chain (email -> ssn
+        # -> ipv4 -> phone; patterns are lookahead-free so java.util.regex
+        # and RE2 match identical spans), counts on progressively-scrubbed
+        # text so kinds never double-count
+        "q37_pii_scrub": r"""
+WITH b AS (
+  SELECT doc_id,
+    coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+      || '.0.1 call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t,
+    CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM b
+), s2 AS (
+  SELECT doc_id, n_email,
+    CAST(length(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+    regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ssn,
+    CAST(length(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+    regexp_replace(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_ssn, n_ipv4,
+    CAST(length(regexp_extract_all(t3, '\+?\d[\d\s().-]{7,}\d')) AS BIGINT) AS n_phone,
+    regexp_replace(t3, '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean_text
+  FROM s3
+)
+SELECT doc_id, clean_text, n_email, n_ssn, n_ipv4, n_phone
+FROM s4 ORDER BY doc_id
 """,
     }
 

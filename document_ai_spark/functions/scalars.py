@@ -95,3 +95,39 @@ def url_canonicalize(url: Column) -> Column:
     rest = F.substring(u, F.length(host_part) + 1, 1 << 30)
     u = F.concat(F.lower(host_part), rest)
     return F.regexp_replace(u, r"/+$", "")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline hygiene: emails/IPs/phone-shaped
+# spans are masked before text enters a training corpus)
+
+# Patterns are deliberately lookahead-free so java.util.regex (Spark) and
+# RE2 (DuckDB oracle) match identical spans. Applied IN ORDER — an email
+# must be masked before the phone pattern can eat its digits.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask email / SSN-shaped / IPv4 / phone-shaped spans with typed
+    placeholder tokens. Pure JVM regexp_replace chain, order-sensitive."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict:
+    """{kind: count-column} of PII spans in ``text`` — counted on the
+    PROGRESSIVELY SCRUBBED text so kinds never double-count each other
+    (an email's digits must not also count as a phone)."""
+    counts = {}
+    cur = text
+    for kind, pat, repl in PII_PATTERNS:
+        counts[f"n_{kind}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return counts

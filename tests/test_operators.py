@@ -285,3 +285,29 @@ def test_gopher_signals_known_values(spark):
     assert not got[3].gopher_keep
     assert got[4].n_words == 0 and got[4].mean_word_len == 0.0 and not got[4].gopher_keep
     assert got[5].n_words == 0 and not got[5].gopher_keep
+
+
+def test_scrub_pii_masks_in_order(spark):
+    from document_ai_spark.functions.scalars import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.co.uk today"),
+        (2, "server at 192.168.001.1 port open"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "ssn 123-45-6789 leaked"),
+        (5, "plain text, nothing to mask 42"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r.i: (r.clean, r.n_email, r.n_ssn, r.n_ipv4, r.n_phone)
+        for r in df.select(
+            "i",
+            scrub_pii(F.col("t")).alias("clean"),
+            *[v.alias(k) for k, v in pii_counts(F.col("t")).items()],
+        ).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> today", 1, 0, 0, 0)
+    assert got[2] == ("server at <IP> port open", 0, 0, 1, 0)
+    assert got[3] == ("call <PHONE> now", 0, 0, 0, 1)
+    assert got[4] == ("ssn <SSN> leaked", 0, 1, 0, 0)
+    assert got[5] == ("plain text, nothing to mask 42", 0, 0, 0, 0)
