@@ -649,6 +649,61 @@ def q37_pii_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q38_corpus_pipeline(spark, sf_dir):
+    """The composed training-corpus build over the extraction OUTPUT:
+    extract (byte-identity golden-gated, written by the q25 step) -> exact
+    dedup on content hash keeping the lexicographically-first url ->
+    min-length filter -> per (lang, warc_day) corpus stats. The DuckDB
+    oracle reads the very same written parquet and re-derives every step
+    in SQL — verifying the END-TO-END composition, not just one operator."""
+    from pyspark.sql import Window
+
+    from document_ai_spark.operators.textstats import token_count
+
+    q25_extract_lang_day(spark, sf_dir)  # (re)writes the extraction output
+    out_dir = _q25_out_dir()
+    out = spark.read.option("basePath", out_dir).parquet(out_dir)
+    html = out.filter(F.col("kind") == "html")
+    w = Window.partitionBy("doc_hash").orderBy("url")
+    kept = (
+        html.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_chars") >= 25))
+    )
+    return (
+        kept.groupBy("lang", F.col("warc_day").cast("string").alias("warc_day"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "warc_day")
+    )
+
+
+def q39_nfc_dedup_keys(spark, sf_dir):
+    """Unicode-normalized dedup keys: deterministic decomposed-accent text
+    synthesized per doc (combining U+0301 — the fixture itself is already
+    NFC), then raw vs NFC-normalized content hashes. The raw hashes differ
+    from the NFC ones exactly where decomposition was injected; DuckDB's
+    nfc_normalize reproduces the normalization bit-for-bit."""
+    from document_ai_spark.functions.normalize import nfc_normalize_udf
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        # explicit escapes: one branch DECOMPOSED (e + combining acute),
+        # the other composed (U+00E9) -- NFC must unify their hashes
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301 menu")).otherwise(
+            F.lit(" caf\u00e9 menu")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(messy).alias("raw_hash"),
+        F.md5(nfc_normalize_udf(messy)).alias("nfc_hash"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -688,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_stream_windows": q35_stream_windows,
         "q36_gopher_quality": q36_gopher_quality,
         "q37_pii_scrub": q37_pii_scrub,
+        "q38_corpus_pipeline": q38_corpus_pipeline,
+        "q39_nfc_dedup_keys": q39_nfc_dedup_keys,
     }
 
 
@@ -1262,6 +1319,34 @@ WITH b AS (
 )
 SELECT doc_id, clean_text, n_email, n_ssn, n_ipv4, n_phone
 FROM s4 ORDER BY doc_id
+""",
+        # end-to-end corpus build re-derived in SQL from the SAME written
+        # extraction parquet (the Spark query runs first and rewrites it)
+        "q38_corpus_pipeline": f"""
+WITH src AS (
+  SELECT * FROM read_parquet('{_q25_out_dir()}/*/*.parquet', hive_partitioning=true)
+  WHERE kind = 'html'
+), kept AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_hash ORDER BY url) AS rn FROM src
+)
+SELECT lang, CAST(warc_day AS VARCHAR) AS warc_day,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
+       ELSE length(string_split_regex(trim(coalesce(text,'')), '\\s+')) END) AS BIGINT) AS sum_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept WHERE rn = 1 AND n_chars >= 25
+GROUP BY 1, 2 ORDER BY lang, warc_day
+""",
+        "q39_nfc_dedup_keys": """
+WITH b AS (
+  SELECT doc_id,
+    coalesce(text, '') ||
+    (CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' menu'
+          ELSE ' caf' || chr(233) || ' menu' END) AS t
+  FROM documents
+)
+SELECT doc_id, md5(t) AS raw_hash, md5(nfc_normalize(t)) AS nfc_hash
+FROM b ORDER BY doc_id
 """,
     }
 

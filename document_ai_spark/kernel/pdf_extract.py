@@ -243,6 +243,9 @@ def _tokens(stream: bytes) -> Iterator[Tuple[str, object]]:
             j = i
             while j < n and stream[j : j + 1] not in _DELIMS:
                 j += 1
+            if j == i:  # stray delimiter (e.g. unmatched ')'): skip it —
+                i += 1  # zero-progress here would loop forever
+                continue
             tok = stream[i:j].decode("latin-1")
             i = j
             try:

@@ -187,3 +187,23 @@ def test_corrupt_flate_stream_is_isolated():
     )
     text, spans = extract_pdf(payload)  # must not raise
     assert text == "" and spans == []
+
+
+def test_pdf_kernel_is_total_on_garbage():
+    # random bytes after the %PDF magic must never raise (error isolation
+    # happens per document; the kernel itself stays total)
+    import random
+
+    rng = random.Random(5)
+    for _ in range(300):
+        junk = b"%PDF-1.4\n" + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 500)))
+        extract_pdf(junk)  # must not raise
+    # adversarial structured junk
+    for payload in [
+        b"%PDF-1.4\n1 0 obj\n<</Type /Pages /Kids [9 0 R]>>\nendobj\n%%EOF",  # dangling kid
+        b"%PDF-1.4\nstream\nBT [ ( ] Tj ET\nendstream",                      # unbalanced
+        b"%PDF-1.4\nstream\nBT /F1 12 Tf (unclosed string\nendstream",       # EOF in string
+        b"%PDF-1.4\nstream\nBT 1 2 Td <zz> Tj ET\nendstream",                # bad hex
+        b"%PDF-1.4\n1 0 obj\n<</Length 999999 /Filter /FlateDecode>>\nstream\nxx\nendstream\nendobj",
+    ]:
+        extract_pdf(payload)  # must not raise

@@ -311,3 +311,14 @@ def test_scrub_pii_masks_in_order(spark):
     assert got[3] == ("call <PHONE> now", 0, 0, 0, 1)
     assert got[4] == ("ssn <SSN> leaked", 0, 1, 0, 0)
     assert got[5] == ("plain text, nothing to mask 42", 0, 0, 0, 0)
+
+
+def test_nfc_normalize_unifies_decomposed(spark):
+    from document_ai_spark.functions.normalize import nfc_normalize_udf
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, None)], "i long, t string"
+    )
+    got = {r.i: r.n for r in df.select("i", nfc_normalize_udf(F.col("t")).alias("n")).collect()}
+    assert got[1] == got[2] == "café"
+    assert got[3] is None
