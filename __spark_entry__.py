@@ -704,6 +704,30 @@ def q39_nfc_dedup_keys(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q40_extract_from_warc(spark, sf_dir):
+    """Cross-source byte-identity: the SAME corpus read from raw WARC files
+    (Common Crawl's native, non-splittable format; per-file parallelism +
+    input-side salting) must extract identically to the Parquet path — so
+    this rollup must equal DuckDB's re-aggregation of the parquet-path
+    output that q25 wrote (the oracle reuses q25's SQL verbatim)."""
+    import tempfile
+
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.sources.pages import CORPUS_VERSION
+    from document_ai_spark.sources.warc import read_warc, write_pages_warc
+
+    corpus = os.path.join(tempfile.gettempdir(), f"da_spark_warc_v{CORPUS_VERSION}_2k")
+    if not os.path.isdir(corpus):
+        write_pages_warc(corpus, 2000, seed=42)
+    q25_extract_lang_day(spark, sf_dir)  # ensure the parquet-path output exists
+    out = extract_pages(read_warc(spark, corpus), salt_partitions=16)
+    return (
+        out.groupBy("lang", F.col("warc_day").cast("string").alias("warc_day"), "kind")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "warc_day", "kind")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -745,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_pii_scrub": q37_pii_scrub,
         "q38_corpus_pipeline": q38_corpus_pipeline,
         "q39_nfc_dedup_keys": q39_nfc_dedup_keys,
+        "q40_extract_from_warc": q40_extract_from_warc,
     }
 
 
@@ -1347,6 +1372,15 @@ WITH b AS (
 )
 SELECT doc_id, md5(t) AS raw_hash, md5(nfc_normalize(t)) AS nfc_hash
 FROM b ORDER BY doc_id
+""",
+        # cross-source identity: q40 extracts from WARC, the oracle
+        # re-aggregates the PARQUET-path output q25 wrote — equal iff
+        # extraction is byte-identical across sources
+        "q40_extract_from_warc": f"""
+SELECT lang, CAST(warc_day AS VARCHAR) AS warc_day, kind,
+  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM read_parquet('{_q25_out_dir()}/*/*.parquet', hive_partitioning=true)
+GROUP BY 1, 2, 3 ORDER BY lang, warc_day, kind
 """,
     }
 
