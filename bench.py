@@ -85,7 +85,7 @@ def bench_extraction(spark, sf: float) -> tuple[float, dict]:
 
     out = os.path.join(tempfile.gettempdir(), "da_spark_bench_out")
     walls = []
-    for _ in range(2):  # best-of-2: shared-VM noise only ever slows a run
+    for _ in range(3):  # best-of-3: shared-VM noise only ever slows a run
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         # production plan: scan-aligned extraction (8 MB splits), then ONE

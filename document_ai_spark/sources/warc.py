@@ -156,15 +156,28 @@ def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
     import pyarrow as pa
 
     def _parse(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import gzip
+
         for batch in batches:
             names = batch.schema.names
             contents = batch.column(names.index("content"))
+            paths = batch.column(names.index("path"))
             urls: List[str] = []
             tss: List[dt.datetime] = []
             payloads: List[bytes] = []
             langs: List[str] = []
-            for blob in contents:
-                for url, ts, payload, lang in parse_records(blob.as_py() or b""):
+            for path, blob in zip(paths, contents):
+                raw = blob.as_py() or b""
+                if str(path).endswith(".gz"):
+                    # Common Crawl ships .warc.gz as CONCATENATED per-record
+                    # gzip members; GzipFile reads through all members
+                    import io
+
+                    try:
+                        raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+                    except OSError:
+                        continue  # corrupt archive: isolate this file
+                for url, ts, payload, lang in parse_records(raw):
                     urls.append(url)
                     tss.append(ts)
                     payloads.append(payload)
@@ -180,6 +193,6 @@ def read_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
                 names=["url", "warc_ts", "html", "text", "lang"],
             )
 
-    files = spark.read.format("binaryFile").load(os.path.join(warc_dir, "*.warc"))
-    pages = files.select("content").mapInArrow(_parse, schema=WARC_PAGE_SCHEMA)
+    files = spark.read.format("binaryFile").load(os.path.join(warc_dir, "*.warc*"))
+    pages = files.select("path", "content").mapInArrow(_parse, schema=WARC_PAGE_SCHEMA)
     return pages.withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))

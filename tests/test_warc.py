@@ -59,3 +59,31 @@ def test_warc_extraction_matches_parquet_path(spark, pages_dir, tmp_path):
     # warc_day partition column derived identically
     days = {r.warc_day for r in via_warc.select("warc_day").distinct().collect()}
     assert len(days) == 4
+
+
+def test_gzipped_warc_reads_identically(spark, tmp_path):
+    """Common Crawl ships .warc.gz with per-record gzip members — the
+    reader must see the same rows as the plain file."""
+    import gzip
+
+    from document_ai_spark.sources.pages import generate_rows
+
+    plain_dir, gz_dir = str(tmp_path / "plain"), str(tmp_path / "gz")
+    import os as _os
+    _os.makedirs(plain_dir); _os.makedirs(gz_dir)
+    rows = list(generate_rows(60, seed=9))
+    recs = [write_record(r["url"], r["warc_ts"], r["html"] or b"", r["lang"]) for r in rows]
+    with open(_os.path.join(plain_dir, "a.warc"), "wb") as f:
+        f.write(b"".join(recs))
+    # per-record gzip members, concatenated (the Common Crawl layout)
+    with open(_os.path.join(gz_dir, "a.warc.gz"), "wb") as f:
+        for rec in recs:
+            f.write(gzip.compress(rec))
+
+    def fp(d):
+        return sorted(
+            (r.url, bytes(r.html or b"")) for r in read_warc(spark, d).collect()
+        )
+
+    a, b = fp(plain_dir), fp(gz_dir)
+    assert a == b and len(a) == 60
