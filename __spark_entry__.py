@@ -12,11 +12,11 @@ oracle_sql()   — DuckDB-runnable ANSI SQL equivalents. Column names, types
 
 Non-SQL-expressible entries intentionally have no oracle_sql — the driver
 records rows-only; their correctness lives in tests/ (golden files + python
-oracles). As of round 2 only two remain:
-  q23 (LSH-ANN): hyperplanes are blake2b-seeded pseudo-gaussians — no SQL
-      analog; recall-vs-brute-force is pytest-gated.
-  q24 (media features): decode stub derives dims from blake2b — no SQL
-      analog; determinism + shape are pytest-gated.
+oracles). As of round 2 only ONE remains:
+  q23 (LSH-ANN): approximate by design — the result depends on
+      blake2b-seeded pseudo-gaussian hyperplanes with recall < 1 at its
+      pruning parameters, so no exact SQL analog exists; recall vs
+      brute-force and sketch determinism are pytest-gated.
 """
 
 from __future__ import annotations
@@ -498,11 +498,16 @@ def q24_media_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
     )
-    # features is array<float>; JSON-serialize it for the driver — its
-    # canonicalizer hashes scalar columns only (round-1 q24 err).
+    # features is array<float>; flatten to 16 rounded double columns — the
+    # driver canonicalizer hashes scalar columns only (round-1 q24 err),
+    # and since round 2 the md5-based stub is fully SQL-reproducible
+    feats = {
+        f"f{i:02d}": F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i:02d}")
+        for i in range(16)
+    }
     return (
         media_features(d)
-        .withColumn("features", F.to_json("features"))
+        .select("media_id", "media_type", "n_bytes", "content_hash", "width", "height", *feats.values())
         .orderBy("media_id")
     )
 
@@ -1032,6 +1037,37 @@ SELECT doc_id,
        '[A-Za-z一-鿿]+|[0-9]+|[^\\sA-Za-z0-9一-鿿]')) AS BIGINT) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """,
+        # media stub fully recomputed in SQL: md5-derived dims; the 16-bin
+        # byte histogram == counts of odd-position hex digits of the
+        # payload (bin = high nibble); float32 round-trip via CAST AS REAL
+        "q24_media_features": "WITH b AS (\n"
+        "  SELECT doc_id AS media_id, coalesce(text, '') AS t FROM documents\n"
+        "), h AS (\n"
+        "  SELECT media_id, md5(t) AS mh, hex(encode(t)) AS hx,\n"
+        "         octet_length(encode(t)) AS n\n"
+        "  FROM b\n"
+        "), nib AS (\n"
+        "  SELECT h.media_id, substr(h.hx, CAST(g.i AS BIGINT)*2+1, 1) AS d\n"
+        "  FROM h, generate_series(0, 2047) g(i) WHERE g.i < h.n\n"
+        "), hist AS (\n"
+        "  SELECT media_id,\n"
+        + ",\n".join(
+            f"    sum(CASE WHEN d = '{format(k, 'X')}' THEN 1 ELSE 0 END) AS c{k:02d}"
+            for k in range(16)
+        )
+        + "\n  FROM nib GROUP BY media_id\n"
+        ")\n"
+        "SELECT h.media_id, 'image' AS media_type,\n"
+        "  CAST(h.n AS BIGINT) AS n_bytes, h.mh AS content_hash,\n"
+        "  CAST(64 + ('0x' || substr(h.mh, 1, 2))::INT % 192 AS INT) AS width,\n"
+        "  CAST(64 + ('0x' || substr(h.mh, 3, 2))::INT % 192 AS INT) AS height,\n"
+        + ",\n".join(
+            f"  CASE WHEN h.n = 0 THEN 0.0 ELSE round(CAST(CAST(coalesce(hi.c{k:02d}, 0) AS DOUBLE)"
+            f" / h.n AS REAL)::DOUBLE, 6) END AS f{k:02d}"
+            for k in range(16)
+        )
+        + "\nFROM h LEFT JOIN hist hi ON hi.media_id = h.media_id\n"
+        "ORDER BY h.media_id\n",
         # simhash: md5-derived token hashes let DuckDB recompute the exact
         # 64-bit fingerprints; the oracle brute-forces all pairs (fine at
         # sf0.01's 200 docs) while Spark uses pigeonhole banding — same

@@ -5,8 +5,8 @@ For a 100 TB training-data pipeline, media payloads ride in the table as
 Arrow-batched ``mapInPandas`` stage — identical plumbing to the HTML/PDF
 extraction stage. The actual codecs (PIL/ffmpeg/librosa) are NOT in this
 container, so the decode step is stubbed: ``decode_stub=True`` (default)
-runs a deterministic fake decoder (blake2b-derived dimensions + byte
-histogram features) so schema, partitioning, UDF signature and batch shape
+runs a deterministic fake decoder (md5-derived dimensions + byte
+histogram features, both SQL-reproducible — see the q24 oracle) so schema, partitioning, UDF signature and batch shape
 are real and tested; ``decode_stub=False`` raises NotImplementedError at
 the decode call site, marking exactly where a real codec plugs in.
 """
@@ -49,8 +49,11 @@ N_FEATURES = 16
 
 def _fake_decode(payload: bytes) -> tuple:
     """Deterministic stand-in for a real image decode: dimensions derived
-    from the content hash, features = normalized 16-bin byte histogram."""
-    h = hashlib.blake2b(payload, digest_size=8).digest()
+    from the content hash (md5 — SQL-expressible, so the q24 oracle can
+    recompute them), features = normalized 16-bin byte histogram (bin =
+    high nibble, i.e. counts of odd-position hex digits — also
+    SQL-expressible)."""
+    h = hashlib.md5(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     if payload:
@@ -93,7 +96,7 @@ def media_features(
                 rows["media_id"].append(mid)
                 rows["media_type"].append(media_type)
                 rows["n_bytes"].append(len(b))
-                rows["content_hash"].append(hashlib.blake2b(b, digest_size=16).hexdigest())
+                rows["content_hash"].append(hashlib.md5(b).hexdigest())
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["features"].append(feats)
