@@ -733,6 +733,20 @@ def q40_extract_from_warc(spark, sf_dir):
     )
 
 
+def q41_ann_exact_at_full_probe(spark, sf_dir):
+    """The ANN operator's exactness CONTRACT, driver-visible: with
+    multi_probe == prefix_bits every sketch bucket is probed, so the
+    LSH-pruned path must return exactly the brute-force cosine top-7 (the
+    q06 answer — the oracle is that SQL verbatim). q23 keeps the pruned
+    configuration (approximate by design, rows-only); together they pin
+    both ends of the recall/cost dial."""
+    from document_ai_spark.operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return lsh_bucketed_topk(e, qv, k=7, n_planes=16, prefix_bits=4, multi_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -775,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_corpus_pipeline": q38_corpus_pipeline,
         "q39_nfc_dedup_keys": q39_nfc_dedup_keys,
         "q40_extract_from_warc": q40_extract_from_warc,
+        "q41_ann_exact_at_full_probe": q41_ann_exact_at_full_probe,
     }
 
 
@@ -1417,6 +1432,13 @@ SELECT lang, CAST(warc_day AS VARCHAR) AS warc_day, kind,
   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM read_parquet('{_q25_out_dir()}/*/*.parquet', hive_partitioning=true)
 GROUP BY 1, 2, 3 ORDER BY lang, warc_day, kind
+""",
+        # full-probe LSH must equal brute force: the oracle is q06's SQL
+        "q41_ann_exact_at_full_probe": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_cosine('e.embedding', 'q.qv')}, 4) AS score
+FROM embeddings e, q
+ORDER BY score DESC, e.vec_id ASC LIMIT 7
 """,
     }
 

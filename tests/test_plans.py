@@ -80,3 +80,16 @@ def test_compact_write_shuffle_not_aqe_coalesced(spark, pages_dir):
     n = df.rdd.getNumPartitions()
     expected = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert n == expected
+
+
+def test_day_group_key_stability_and_ranges():
+    from document_ai_spark.plans.pipeline import day_group_key
+
+    # ISO dates: injective ordinals, stable across calls
+    a, b = day_group_key("2024-03-01"), day_group_key("2024-03-02")
+    assert a != b and a == day_group_key("2024-03-01")
+    assert 700_000 < a < 1_000_000  # far above url-bucket group ids
+    # non-ISO fallback: stable hash placed above 2^30
+    x = day_group_key("week=12")
+    assert x == day_group_key("week=12") and x >= 0x40000000
+    assert day_group_key("week=12") != day_group_key("week=13")
