@@ -43,13 +43,13 @@ Everything is integer-rounded arithmetic + stable sorts => byte-identical
 output at any partition count / parallelism level.
 
 Also handled: ``/Filter /FlateDecode`` content streams (zlib-inflated
-before tokenizing — the overwhelmingly common real-PDF encoding) and hex
-strings ``<48656C6C6F>`` (decoded per spec: whitespace ignored, odd final
-digit padded with 0).
+before tokenizing — the overwhelmingly common real-PDF encoding),
+``/Filter /ASCIIHexDecode`` streams, and hex strings ``<48656C6C6F>``
+(decoded per spec: whitespace ignored, odd final digit padded with 0).
 
 Out of scope (documented): font widths / ToUnicode CMaps (text is assumed
 to be in a byte-transparent encoding), rotation in Tm (only the e,f
-translation is honored), /ASCII85Decode and other filters.
+translation is honored), /ASCII85Decode/LZW and filter CHAINS.
 """
 
 from __future__ import annotations
@@ -67,6 +67,7 @@ TJ_SPACE_THRESHOLD = -180  # TJ kerning <= this (1/1000 em) acts as a space
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_AHX_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/ASCIIHexDecode")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
@@ -113,6 +114,17 @@ def _stream_bytes(obj_body: bytes) -> bytes:
         try:
             data = zlib.decompress(data)
         except zlib.error:
+            return b""
+    elif _AHX_RE.search(head):
+        # ASCIIHexDecode: hex digits, whitespace ignored, '>' terminates,
+        # odd final digit padded with 0 (PDF 32000-1 §7.4.2)
+        body = data.split(b">", 1)[0]
+        digits = bytes(d for d in body if d in b"0123456789abcdefABCDEF")
+        if len(digits) % 2:
+            digits += b"0"
+        try:
+            data = bytes.fromhex(digits.decode("ascii"))
+        except ValueError:
             return b""
     return data
 

@@ -207,3 +207,17 @@ def test_pdf_kernel_is_total_on_garbage():
         b"%PDF-1.4\n1 0 obj\n<</Length 999999 /Filter /FlateDecode>>\nstream\nxx\nendstream\nendobj",
     ]:
         extract_pdf(payload)  # must not raise
+
+
+def test_asciihex_stream():
+    body = obj(72, 700, "hex encoded page")
+    enc = body.encode().hex().upper().encode() + b">"
+    payload = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n"
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
+        b"3 0 obj\n<</Length " + str(len(enc)).encode()
+        + b" /Filter /ASCIIHexDecode>>\nstream\n" + enc + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_pdf(payload)[0] == "hex encoded page"
