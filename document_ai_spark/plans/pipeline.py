@@ -5,7 +5,7 @@ One lazy DataFrame plan per bucket group:
     read pages (parquet/Iceberg layout, partition+column pruned)
       -> filter(group_id == g)                  # pure fn of url
       -> repartition(P, salted url-hash)        # X2 skew defusal
-      -> mapInPandas(extract_batch)             # U1+F1, Arrow batches
+      -> mapInArrow(extract_batch)              # U1+F1, Arrow batches
       -> write group=<g>/ partitioned by warc_day, mode=overwrite
     then append 'done' row + counters to the checkpoint table.
 
@@ -30,6 +30,16 @@ from document_ai_spark.plans import checkpoint as cp
 def read_pages(spark: SparkSession, pages_path: str) -> DataFrame:
     """Read the pages table (Parquet with Iceberg-style warc_day layout)."""
     return spark.read.option("basePath", pages_path).parquet(pages_path)
+
+
+def read_source(spark: SparkSession, pages_path: str, source_format: str = "parquet") -> DataFrame:
+    """Pages from any supported source format — same schema either way
+    (cross-source extraction identity is gated by q40/test_warc)."""
+    if source_format == "warc":
+        from document_ai_spark.sources.warc import read_warc
+
+        return read_warc(spark, pages_path)
+    return read_pages(spark, pages_path)
 
 
 def group_dir(out_dir: str, group_id: int) -> str:
@@ -73,6 +83,7 @@ def run_extraction(
     run_id: str | None = None,
     fail_after_group: int | None = None,
     files_per_day: int | None = None,
+    source_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the full extraction job. Returns summary counters.
 
@@ -80,7 +91,7 @@ def run_extraction(
     simulate a mid-job crash (resume test, SURVEY.md §5.4).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    pages = read_pages(spark, pages_path)
+    pages = read_source(spark, pages_path, source_format)
     done = cp.done_groups(spark, run_dir)
     summary = {"run_id": run_id, "groups_done_before": len(done), "groups_run": 0}
 
