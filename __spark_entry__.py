@@ -747,6 +747,46 @@ def q41_ann_exact_at_full_probe(spark, sf_dir):
     return lsh_bucketed_topk(e, qv, k=7, n_planes=16, prefix_bits=4, multi_probe=4)
 
 
+def q42_sessionize_stream(spark, sf_dir):
+    """The custom STATEFUL streaming operator itself under the driver's
+    gate: a real applyInPandasWithState run (availableNow, memory sink)
+    emits every session CLOSED by a later event — which must equal the
+    batch sessionization minus each user's open tail (oracle = q29's SQL
+    qualified to closed sessions). Events staged as ONE file so a single
+    micro-batch preserves per-user event order."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from document_ai_spark.streaming.sessionize import run_sessionize_stream
+
+    tmp = tempfile.mkdtemp(prefix="da_stream_q42_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(tmp, "events.parquet"))
+    name = "q42_" + _uuid.uuid4().hex[:8]
+    out = run_sessionize_stream(
+        spark, tmp, os.path.join(tmp, "_ckpt"), gap_minutes=30, query_name=name
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
+
+
+def q43_lang_trigram(spark, sf_dir):
+    """Character-trigram language ID (Cavnar/Trenkle-shape n-gram
+    heuristic) alongside the ground-truth lang column; the oracle rebuilds
+    the SAME distinctive-trigram profiles and tie order in SQL."""
+    from document_ai_spark.operators.textstats import lang_id_trigram
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", lang_id_trigram(F.col("text")).alias("guess_lang")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -790,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_nfc_dedup_keys": q39_nfc_dedup_keys,
         "q40_extract_from_warc": q40_extract_from_warc,
         "q41_ann_exact_at_full_probe": q41_ann_exact_at_full_probe,
+        "q42_sessionize_stream": q42_sessionize_stream,
+        "q43_lang_trigram": q43_lang_trigram,
     }
 
 
@@ -825,6 +867,43 @@ sh AS (
   SELECT DISTINCT d.doc_id, substr(d.text, 1, {k}) AS shingle
   FROM documents d WHERE {filt} AND length(d.text) BETWEEN 1 AND {k}-1
 )
+"""
+
+
+def _q43_sql() -> str:
+    """Trigram-profile lang-id oracle: the SAME distinctive trigrams the
+    Spark scorer uses (pure function of the generator vocab), counted via
+    regexp_extract_all, argmax with the same en>de>es>fr>zh tie order."""
+    import re as _re
+
+    from document_ai_spark.operators.textstats import lang_trigram_profiles
+
+    profiles = lang_trigram_profiles()
+    order = ["en", "de", "es", "fr", "zh"]
+    parts = []
+    for lang in order:
+        pat = "(?:" + "|".join(_re.escape(t) for t in profiles[lang]) + ")"
+        parts.append(
+            "    length(regexp_extract_all(lower(coalesce(text, '')), '"
+            + pat
+            + "')) AS s_"
+            + lang
+        )
+    score_cols = ",\n".join(parts)
+    return f"""
+WITH m AS (
+  SELECT doc_id, lang,
+{score_cols}
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS guess_lang
+FROM m ORDER BY doc_id
 """
 
 
@@ -1440,6 +1519,34 @@ SELECT e.vec_id, round({_cosine('e.embedding', 'q.qv')}, 4) AS score
 FROM embeddings e, q
 ORDER BY score DESC, e.vec_id ASC LIMIT 7
 """,
+        # stream == batch-minus-open-tails: the stateful operator must land
+        # on exactly the batch sessionization without each user's last
+        # (still-open) session
+        "q42_sessionize_stream": """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+  FROM s
+), sess AS (
+  SELECT user_id, session_id,
+    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+    count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM g GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM sess
+QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+ORDER BY user_id, session_start
+""",
+        "q43_lang_trigram": _q43_sql(),
     }
 
 

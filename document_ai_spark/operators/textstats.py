@@ -10,6 +10,7 @@ precision, so the DuckDB oracle reproduces them exactly.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -279,3 +280,47 @@ def gopher_signals(
         & (F.col("symbol_word_ratio") <= 0.1)
     )
     return out.withColumn("gopher_keep", keep)
+
+
+def lang_trigram_profiles(k: int = 20) -> dict:
+    """Per-language distinctive character trigrams, derived
+    deterministically from the per-language seed lexicons (LANG_MARKERS —
+    high-frequency function words, the classic profile source): the k
+    lexicographically-first trigrams appearing in exactly ONE language's
+    lexicon. Pure data — shared verbatim by the Spark scorer and the q43
+    DuckDB oracle."""
+    sets = {}
+    for lang, vocab in LANG_MARKERS.items():
+        text = " " + " ".join(sorted(set(vocab))) + " "
+        sets[lang] = {text[i : i + 3] for i in range(len(text) - 2)}
+    profiles = {}
+    for lang in sets:
+        others = set().union(*(s for l, s in sets.items() if l != lang))
+        profiles[lang] = sorted(sets[lang] - others)[:k]
+    return profiles
+
+
+def lang_id_trigram(text: Column, k: int = 20) -> Column:
+    """Character-n-gram language guess (the classic trigram-profile
+    heuristic, Cavnar & Trenkle 1994 shape): count each language's
+    distinctive trigrams in ONE factored regexp_count per language (all
+    alternatives are length 3, so java/RE2 non-overlapping counting agrees
+    exactly), argmax with fixed tie order en>de>es>fr>zh, 'und' on zero.
+    Complements the marker-WORD scorer (lang_id): trigrams also fire on
+    inflected/unseen words sharing character patterns."""
+    profiles = lang_trigram_profiles(k)
+    order = ["en", "de", "es", "fr", "zh"]
+    cands = [
+        F.struct(F.lit(0).alias("s"), F.lit(len(order) + 1).alias("p"), F.lit("und").alias("lang"))
+    ]
+    low = F.lower(F.coalesce(text, F.lit("")))
+    for i, lang in enumerate(order):
+        pat = "(?:" + "|".join(re.escape(t) for t in profiles[lang]) + ")"
+        cands.append(
+            F.struct(
+                F.regexp_count(low, F.lit(pat)).alias("s"),
+                F.lit(len(order) - i).alias("p"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    return F.array_max(F.array(*cands)).getField("lang")

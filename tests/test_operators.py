@@ -322,3 +322,30 @@ def test_nfc_normalize_unifies_decomposed(spark):
     got = {r.i: r.n for r in df.select("i", nfc_normalize_udf(F.col("t")).alias("n")).collect()}
     assert got[1] == got[2] == "café"
     assert got[3] is None
+
+
+def test_lang_id_trigram_on_marked_text(spark):
+    """NOTE: the driver's documents fixture carries the SAME vocabulary
+    under every lang label, so content-based accuracy is untestable there
+    (q43 is parity-gated against the SQL oracle instead). Here: correct
+    guesses on genuinely per-language text, determinism, and the 'und'
+    fallback."""
+    from document_ai_spark.operators.textstats import lang_id_trigram, lang_trigram_profiles
+
+    profiles = lang_trigram_profiles()
+    assert set(profiles) == {"en", "de", "es", "fr", "zh"}
+    assert all(profiles.values())  # every language has distinctive trigrams
+    assert profiles == lang_trigram_profiles()  # deterministic
+
+    rows = [
+        (1, "en", "the fox ran over the fence with the dog and the cat"),
+        (2, "de", "der fuchs sprang über den zaun mit und der hund"),
+        (3, "es", "el zorro salta sobre el perro con muchas ganas el dia"),
+        (4, "fr", "le renard saute par dessus avec beaucoup le chien"),
+        (5, "zh", "狐狸 跳过 了 的 篱笆 很 快 关于 狗 许多 words"),
+        (6, "und", "xxxx yyyy zzzz qqqq"),
+    ]
+    df = spark.createDataFrame(rows, "i long, want string, t string")
+    got = {r.i: r.g for r in df.select("i", lang_id_trigram(F.col("t")).alias("g")).collect()}
+    for i, want, _ in rows:
+        assert got[i] == want, (i, want, got[i])
