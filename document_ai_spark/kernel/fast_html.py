@@ -1,12 +1,13 @@
-"""Fast HTML event scanner — drop-in driver for the block tokenizer.
+"""Fast HTML scanner definitions for the merged block tokenizer.
 
 ``html.parser.HTMLParser`` is ~93% of extraction kernel time (its
-char-by-char goahead loop + updatepos bookkeeping). This scanner instead
+char-by-char goahead loop + updatepos bookkeeping). The fast path instead
 walks the document with ONE compiled alternation (`_SCAN_RE`) — a single
-C-level ``search`` per markup construct — and feeds the SAME handler
-callbacks (``handle_starttag/handle_endtag/handle_data``), so block
-construction and scoring logic live in exactly one place
-(:mod:`document_ai_spark.kernel.html_extract`).
+C-level ``search`` per markup construct. Since round 2 the scan loop is
+INLINED with the block state machine in
+:mod:`document_ai_spark.kernel.html_extract` (`_tokenize_blocks_merged`) —
+no per-event callback dispatch, and text inside skipped subtrees bypasses
+slicing/unescape. This module keeps the scanner's regex definitions.
 
 Equivalence contract (tested in tests/test_fast_html.py against HTMLParser
 on the full synthetic corpus + adversarial fuzz):
@@ -29,7 +30,7 @@ kernel remains total either way.
 from __future__ import annotations
 
 import re
-from html import unescape
+
 
 _CDATA_ELEMS = ("script", "style")  # HTMLParser's CDATA_CONTENT_ELEMENTS
 
@@ -54,61 +55,3 @@ _SCAN_RE = re.compile(
     r"|<",                               # lone '<' (e.g. '<3'): data
     re.S,
 )
-
-
-def scan(s: str, handler) -> None:
-    """Drive ``handler`` (handle_starttag/handle_endtag/handle_data) over
-    the HTML string ``s``."""
-    n = len(s)
-    pos = 0
-    search = _SCAN_RE.search
-    find = s.find
-    h_data = handler.handle_data
-    h_start = handler.handle_starttag
-    h_end = handler.handle_endtag
-    dropping = False  # inside a garbled tag: text to next '<' is discarded
-    while True:
-        m = search(s, pos)
-        if m is None:
-            if pos < n and not dropping:
-                h_data(unescape(s[pos:]))
-            return
-        lt = m.start()
-        if lt > pos and not dropping:
-            h_data(unescape(s[pos:lt]))
-        dropping = False
-        closing, name, _attrs, selfclose = m.group(1, 2, 3, 4)
-        pos = m.end()
-        if name is not None:  # full tag
-            name = name.lower()
-            if closing:
-                h_end(name)
-            else:
-                h_start(name, ())
-                if selfclose:
-                    h_end(name)
-                elif name in _CDATA_ELEMS:
-                    # raw text until the matching close tag, matched
-                    # case-insensitively on the ORIGINAL string (str.lower
-                    # can change length, e.g. 'İ'); content is NOT
-                    # unescaped (CDATA) and our handler drops it anyway
-                    # (script/style are SKIP_TAGS)
-                    mc = _CDATA_CLOSE_RE[name].search(s, pos)
-                    if mc is None:
-                        h_data(s[pos:])
-                        return
-                    close = mc.start()
-                    h_data(s[pos:close])
-                    gt = find(">", close)
-                    h_end(name)
-                    pos = n if gt == -1 else gt + 1
-        elif pos - lt == 1:  # single '<' consumed: garbled tag or lone '<'
-            nc = s[pos : pos + 1]
-            if nc == "/" or ("a" <= nc <= "z") or ("A" <= nc <= "Z"):
-                # unterminated/garbled tag: HTMLParser buffers it to EOF
-                # if no further '<' completes it; tolerant fallback: skip
-                # to the next '<' and resume, dropping the garbled text
-                dropping = True
-            else:
-                h_data("<")
-        # else: comment/declaration/PI — skipped entirely

@@ -181,24 +181,25 @@ class _BlockTokenizer(HTMLParser):
 def tokenize_blocks(html_text: str, fast: bool = True) -> List[Block]:
     """Flatten an HTML string into scored text blocks (malformed-tolerant).
 
-    ``fast=True`` (default) drives the same handler callbacks with the
-    regex scanner in :mod:`document_ai_spark.kernel.fast_html` (~4x faster;
-    HTMLParser's goahead loop is 93% of kernel time). ``fast=False`` uses
-    stdlib HTMLParser — the reference implementation the scanner is
+    ``fast=True`` (default) runs the merged scanner+state-machine
+    (`_tokenize_blocks_merged`: one alternation regex, no per-event
+    callback dispatch, skipped subtrees bypass slicing/unescape — ~5x
+    HTMLParser). ``fast=False`` uses stdlib HTMLParser driving
+    `_BlockTokenizer` — the reference implementation the merged path is
     equivalence-tested against (tests/test_fast_html.py)."""
+    if fast:
+        try:
+            return _tokenize_blocks_merged(html_text)
+        except Exception:
+            # totality guarantee: never throw; fall back to the reference
+            # parser for this document
+            pass
     tok = _BlockTokenizer()
     try:
-        if fast:
-            from document_ai_spark.kernel import fast_html
-
-            fast_html.scan(html_text, tok)
-            tok._flush()
-        else:
-            tok.feed(html_text)
-            tok.close()
+        tok.feed(html_text)
+        tok.close()
     except Exception:
-        # guarantee we never throw: keep whatever blocks were produced
-        # before the failure point.
+        # keep whatever blocks were produced before the failure point
         tok._flush()
     return tok.blocks
 
@@ -246,3 +247,158 @@ def extract_html(payload: bytes) -> Tuple[str, List[dict]]:
         )
         pos = end
     return "\n\n".join(parts), spans
+
+
+def _tokenize_blocks_merged(s: str) -> List[Block]:
+    """The fast scanner with the _BlockTokenizer state machine INLINED:
+    one function, no per-event callback dispatch (~1.1M calls per 6k
+    docs), and text inside skipped subtrees (head/nav/script/...) bypasses
+    slicing + unescape entirely. Semantics are EXACTLY _BlockTokenizer
+    driven by fast_html.scan — equivalence-tested against HTMLParser on
+    the corpus + fuzz (tests/test_fast_html.py) and against the goldens.
+    """
+    from document_ai_spark.kernel.fast_html import _CDATA_CLOSE_RE, _CDATA_ELEMS, _SCAN_RE
+
+    from html import unescape
+
+    blocks: List[Block] = []
+    skip_depth = 0
+    open_skip_tags: List[str] = []
+    article_depth = 0
+    link_depth = 0
+    cur_tag = "body"
+    pieces: List[str] = []
+    link_chars = 0
+    n_text_nodes = 0
+
+    def flush() -> None:
+        nonlocal pieces, link_chars, n_text_nodes
+        if pieces:
+            raw = " ".join(" ".join(pieces).split())
+            if raw:
+                blocks.append(
+                    Block(
+                        tag=cur_tag,
+                        text=raw,
+                        n_chars=len(raw),
+                        n_link_chars=min(link_chars, len(raw)),
+                        n_text_nodes=n_text_nodes,
+                        in_article=article_depth > 0,
+                    )
+                )
+            pieces = []
+        link_chars = 0
+        n_text_nodes = 0
+
+    def data(piece: str) -> None:
+        # == _BlockTokenizer.handle_data (skip_depth checked by callers)
+        nonlocal link_chars, n_text_nodes
+        if not piece or piece.isspace():
+            return
+        pieces.append(piece)
+        n_text_nodes += 1
+        if link_depth:
+            link_chars += len(" ".join(piece.split()))
+
+    n = len(s)
+    pos = 0
+    search = _SCAN_RE.search
+    find = s.find
+    dropping = False
+    while True:
+        m = search(s, pos)
+        if m is None:
+            if pos < n and not dropping and not skip_depth:
+                data(unescape(s[pos:]))
+            break
+        lt = m.start()
+        if lt > pos and not dropping and not skip_depth:
+            data(unescape(s[pos:lt]))
+        dropping = False
+        closing, name, _attrs, selfclose = m.group(1, 2, 3, 4)
+        pos = m.end()
+        if name is not None:  # full tag
+            name = name.lower()
+            if closing:
+                # == handle_endtag
+                if name in SKIP_TAGS:
+                    if open_skip_tags and name in open_skip_tags:
+                        for i in range(len(open_skip_tags) - 1, -1, -1):
+                            if open_skip_tags[i] == name:
+                                del open_skip_tags[i]
+                                skip_depth -= 1
+                                break
+                elif not skip_depth:
+                    if name in ("article", "main") and article_depth > 0:
+                        article_depth -= 1
+                    elif name == "a" and link_depth > 0:
+                        link_depth -= 1
+                    if name in BLOCK_TAGS:
+                        flush()
+                        cur_tag = "body"
+            else:
+                # == handle_starttag (+ immediate endtag for self-closing)
+                opened_cdata = False
+                if name in VOID_TAGS:
+                    pass
+                elif name in SKIP_TAGS:
+                    skip_depth += 1
+                    open_skip_tags.append(name)
+                    flush()
+                    opened_cdata = name in _CDATA_ELEMS
+                elif not skip_depth:
+                    if name in ("article", "main"):
+                        article_depth += 1
+                    elif name == "a":
+                        link_depth += 1
+                    if name in BLOCK_TAGS:
+                        flush()
+                        cur_tag = name
+                if selfclose:
+                    # handle_endtag immediately (undo skip push, etc.)
+                    if name in SKIP_TAGS:
+                        if open_skip_tags and name in open_skip_tags:
+                            for i in range(len(open_skip_tags) - 1, -1, -1):
+                                if open_skip_tags[i] == name:
+                                    del open_skip_tags[i]
+                                    skip_depth -= 1
+                                    break
+                    elif name not in VOID_TAGS and not skip_depth:
+                        if name in ("article", "main") and article_depth > 0:
+                            article_depth -= 1
+                        elif name == "a" and link_depth > 0:
+                            link_depth -= 1
+                        if name in BLOCK_TAGS:
+                            flush()
+                            cur_tag = "body"
+                elif name in _CDATA_ELEMS:
+                    # raw CDATA until the close tag; content is inside a
+                    # SKIP subtree whenever opened_cdata (script/style are
+                    # SKIP_TAGS), so it is dropped without slicing
+                    mc = _CDATA_CLOSE_RE[name].search(s, pos)
+                    if mc is None:
+                        if not skip_depth:
+                            data(s[pos:])
+                        break
+                    close = mc.start()
+                    if not skip_depth:
+                        data(s[pos:close])
+                    gt = find(">", close)
+                    # close tag == handle_endtag(name): pop the skip entry
+                    if open_skip_tags and name in open_skip_tags:
+                        for i in range(len(open_skip_tags) - 1, -1, -1):
+                            if open_skip_tags[i] == name:
+                                del open_skip_tags[i]
+                                skip_depth -= 1
+                                break
+                    pos = n if gt == -1 else gt + 1
+        elif pos - lt == 1:
+            nc = s[pos : pos + 1]
+            if nc == "/" or ("a" <= nc <= "z") or ("A" <= nc <= "Z"):
+                dropping = True
+            elif not skip_depth:
+                data("<")
+        # else: comment/declaration/PI — skipped
+
+    flush()
+    return blocks
