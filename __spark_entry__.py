@@ -787,6 +787,37 @@ def q43_lang_trigram(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q44_dirs() -> tuple[str, str, str]:
+    import tempfile
+
+    from document_ai_spark.sources.pages import CORPUS_VERSION
+
+    base = os.path.join(tempfile.gettempdir(), f"da_spark_incr_v{CORPUS_VERSION}_500")
+    return os.path.join(base, "pages"), os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+
+def q44_incremental_extract(spark, sf_dir):
+    """ST1's actual path under the driver's gate: a file-source
+    readStream -> foreachBatch(extract + day-partitioned append) cycle
+    (availableNow) over a staged corpus — the reference's webhook arrival
+    analog (app.py:193-266). The streaming checkpoint makes re-runs
+    no-ops (no new files => no appends), so the rollup is stable and the
+    oracle re-aggregates the stream-written parquet."""
+    from document_ai_spark.sources.pages import write_pages_parquet
+    from document_ai_spark.streaming.incremental import incremental_extract
+
+    pages, out, ckpt = _q44_dirs()
+    if not os.path.isdir(pages):
+        write_pages_parquet(pages, 500, seed=43)
+    incremental_extract(spark, pages, out, ckpt, salt_partitions=8)
+    written = spark.read.option("basePath", out).parquet(out)
+    return (
+        written.groupBy("lang", "kind")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "kind")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -832,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_ann_exact_at_full_probe": q41_ann_exact_at_full_probe,
         "q42_sessionize_stream": q42_sessionize_stream,
         "q43_lang_trigram": q43_lang_trigram,
+        "q44_incremental_extract": q44_incremental_extract,
     }
 
 
@@ -1547,6 +1579,13 @@ QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
 ORDER BY user_id, session_start
 """,
         "q43_lang_trigram": _q43_sql(),
+        # stream-written extraction output re-aggregated by DuckDB (the
+        # Spark query runs the availableNow cycle first; rerun = no-op)
+        "q44_incremental_extract": f"""
+SELECT lang, kind, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM read_parquet('{_q44_dirs()[1]}/*/*.parquet', hive_partitioning=true)
+GROUP BY 1, 2 ORDER BY lang, kind
+""",
     }
 
 
