@@ -787,29 +787,43 @@ def q43_lang_trigram(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _q44_dirs() -> tuple[str, str, str]:
+def _q44_dirs() -> tuple[str, str, str, str]:
     import tempfile
 
     from document_ai_spark.sources.pages import CORPUS_VERSION
 
     base = os.path.join(tempfile.gettempdir(), f"da_spark_incr_v{CORPUS_VERSION}_500")
-    return os.path.join(base, "pages"), os.path.join(base, "out"), os.path.join(base, "ckpt")
+    return (
+        os.path.join(base, "pages"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+        os.path.join(base, "batch_out"),
+    )
 
 
 def q44_incremental_extract(spark, sf_dir):
-    """ST1's actual path under the driver's gate: a file-source
-    readStream -> foreachBatch(extract + day-partitioned append) cycle
-    (availableNow) over a staged corpus — the reference's webhook arrival
-    analog (app.py:193-266). The streaming checkpoint makes re-runs
-    no-ops (no new files => no appends), so the rollup is stable and the
-    oracle re-aggregates the stream-written parquet."""
+    """ST1's actual path under the driver's gate, NON-vacuously: the
+    file-source readStream -> foreachBatch(extract + day-partitioned
+    append) cycle (availableNow; the reference's webhook arrival analog,
+    app.py:193-266) writes one output; an independent BATCH-path
+    extraction of the same corpus writes another. The returned rollup
+    aggregates the STREAM-written files while the oracle aggregates the
+    BATCH-written files — equal only if the streaming path produced
+    exactly the batch rows (duplicated/missing appends would diverge).
+    The streaming checkpoint makes re-runs no-ops, so the result is
+    stable across invocations."""
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.plans.pipeline import read_pages
     from document_ai_spark.sources.pages import write_pages_parquet
     from document_ai_spark.streaming.incremental import incremental_extract
 
-    pages, out, ckpt = _q44_dirs()
+    pages, out, ckpt, batch_out = _q44_dirs()
     if not os.path.isdir(pages):
         write_pages_parquet(pages, 500, seed=43)
     incremental_extract(spark, pages, out, ckpt, salt_partitions=8)
+    extract_pages(read_pages(spark, pages), salt_partitions=8).write.mode(
+        "overwrite"
+    ).partitionBy("warc_day").parquet(batch_out)
     written = spark.read.option("basePath", out).parquet(out)
     return (
         written.groupBy("lang", "kind")
@@ -1333,8 +1347,10 @@ WITH b AS (
   SELECT doc_id, url_raw,
     regexp_replace(
       regexp_replace(
-        regexp_replace(url_raw, '(?:[?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-        '^([^?#&]*)&', '\1?'),
+        regexp_replace(
+          regexp_replace(url_raw, '&(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+          '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+        '\?(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
       '\?($|#)', '\1') AS url_no_tracking
   FROM b
 ), h AS (
@@ -1579,11 +1595,12 @@ QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
 ORDER BY user_id, session_start
 """,
         "q43_lang_trigram": _q43_sql(),
-        # stream-written extraction output re-aggregated by DuckDB (the
-        # Spark query runs the availableNow cycle first; rerun = no-op)
+        # the ORACLE aggregates the BATCH-path output while the Spark query
+        # aggregates the STREAM-written output — equal only if the
+        # streaming cycle appended exactly the batch rows
         "q44_incremental_extract": f"""
 SELECT lang, kind, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM read_parquet('{_q44_dirs()[1]}/*/*.parquet', hive_partitioning=true)
+FROM read_parquet('{_q44_dirs()[3]}/*/*.parquet', hive_partitioning=true)
 GROUP BY 1, 2 ORDER BY lang, kind
 """,
     }

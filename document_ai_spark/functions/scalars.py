@@ -72,15 +72,22 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
+_TRACKING = r"(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*"
+
+
 def url_strip_tracking(url: Column) -> Column:
-    """Remove utm_*/fbclid/gclid query params (and a then-empty '?')."""
-    cleaned = F.regexp_replace(
-        url, r"(?:[?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", ""
-    )
-    # a removed FIRST param consumes the '?', leaving the next param as
-    # 'path&rest' — promote the orphaned '&' (first one before any ?/#)
-    # back to '?' so param order cannot change the canonical key
-    cleaned = F.regexp_replace(cleaned, r"^([^?#&]*)&", "$1?")
+    """Remove utm_*/fbclid/gclid query params, preserving everything else
+    — including literal '&' in the PATH (legal per RFC 3986), which a
+    promote-orphaned-'&' fixup would corrupt. Three ordered passes:
+      1. non-first params ('&utm=…') removed (consecutive ones are
+         adjacent matches, so one global pass takes them all);
+      2. a FIRST param with a successor ('?utm=…&rest') collapses to '?'
+         so the successor keeps the '?' — param order cannot change the
+         canonical key;
+      3. a lone first param ('?utm=…' at end or before '#') vanishes."""
+    cleaned = F.regexp_replace(url, r"&" + _TRACKING, "")
+    cleaned = F.regexp_replace(cleaned, r"\?" + _TRACKING + r"&", "?")
+    cleaned = F.regexp_replace(cleaned, r"\?" + _TRACKING, "")
     # trailing empty '?' (capture-group form: RE2 oracles have no lookahead)
     return F.regexp_replace(cleaned, r"\?($|#)", "$1")
 

@@ -338,14 +338,12 @@ def _tokenize_blocks_merged(s: str) -> List[Block]:
                         cur_tag = "body"
             else:
                 # == handle_starttag (+ immediate endtag for self-closing)
-                opened_cdata = False
                 if name in VOID_TAGS:
                     pass
                 elif name in SKIP_TAGS:
                     skip_depth += 1
                     open_skip_tags.append(name)
                     flush()
-                    opened_cdata = name in _CDATA_ELEMS
                 elif not skip_depth:
                     if name in ("article", "main"):
                         article_depth += 1
@@ -372,17 +370,13 @@ def _tokenize_blocks_merged(s: str) -> List[Block]:
                             flush()
                             cur_tag = "body"
                 elif name in _CDATA_ELEMS:
-                    # raw CDATA until the close tag; content is inside a
-                    # SKIP subtree whenever opened_cdata (script/style are
-                    # SKIP_TAGS), so it is dropped without slicing
+                    # raw CDATA until the close tag; script/style are
+                    # SKIP_TAGS, so skip_depth >= 1 here and the content
+                    # is dropped WITHOUT ever being sliced or unescaped
                     mc = _CDATA_CLOSE_RE[name].search(s, pos)
                     if mc is None:
-                        if not skip_depth:
-                            data(s[pos:])
                         break
                     close = mc.start()
-                    if not skip_depth:
-                        data(s[pos:close])
                     gt = find(">", close)
                     # close tag == handle_endtag(name): pop the skip entry
                     if open_skip_tags and name in open_skip_tags:

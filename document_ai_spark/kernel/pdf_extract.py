@@ -64,13 +64,17 @@ HEADER_Y = 750            # y >= this is running-header band
 FOOTER_Y = 50             # y <= this is running-footer band
 TJ_SPACE_THRESHOLD = -180  # TJ kerning <= this (1/1000 em) acts as a space
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
+_OBJ_START_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _AHX_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/ASCIIHexDecode")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
-_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+# direct /Length only — '/Length 4 0 R' must NOT parse as length 4
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ANY_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)")
+_INT_RE = re.compile(rb"\s*(\d+)")
 
 _DELIMS = b" \t\r\n()[]<>/%"
 _ESCAPES = {
@@ -88,13 +92,51 @@ def is_pdf(payload: bytes) -> bool:
 
 
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 
 
-def _stream_bytes(obj_body: bytes) -> bytes:
+def _scan_objects(payload: bytes) -> dict:
+    """num -> object body, by FORWARD scan that skips declared-length
+    stream payloads — so binary stream data containing b'endobj' or a
+    b'N 0 obj' lookalike can never truncate or split an object (the same
+    hazard _stream_bytes guards for b'endstream', one level up). Streams
+    with an INDIRECT /Length (N 0 R — the value object may appear later in
+    the file, so it cannot be resolved mid-scan) fall back to
+    endstream-keyword delimiting; _stream_bytes resolves the actual value
+    afterwards, when every object is known."""
+    objs: dict = {}
+    pos = 0
+    n = len(payload)
+    while True:
+        m = _OBJ_START_RE.search(payload, pos)
+        if m is None:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        search_from = body_start
+        sm = _STREAM_START_RE.search(payload, body_start)
+        em_naive = payload.find(b"endobj", body_start)
+        if sm is not None and (em_naive == -1 or sm.start() < em_naive):
+            # the stream belongs to THIS object: jump over its payload
+            lm = _LENGTH_DIRECT_RE.search(payload[body_start : sm.start()])
+            if lm:
+                search_from = sm.end() + int(lm.group(1))
+            else:
+                es = payload.find(b"endstream", sm.end())
+                search_from = es if es != -1 else n
+        em = payload.find(b"endobj", search_from)
+        if em == -1:
+            objs[num] = payload[body_start:]
+            break
+        objs[num] = payload[body_start:em]
+        pos = em + 6  # len(b"endobj")
+    return objs
+
+
+def _stream_bytes(obj_body: bytes, objs: dict | None = None) -> bytes:
     """Content-stream bytes of one object: delimited by /Length when
-    declared (binary flate data may legally contain b'endstream'), else by
-    the endstream keyword; inflated when the object dict declares
+    declared — directly, or via an indirect reference resolved against
+    ``objs`` (binary flate data may legally contain b'endstream') — else
+    by the endstream keyword; inflated when the object dict declares
     /Filter /FlateDecode. A corrupt flate stream contributes nothing
     (per-document error isolation, the kernel stays total)."""
     m = _STREAM_START_RE.search(obj_body)
@@ -102,9 +144,18 @@ def _stream_bytes(obj_body: bytes) -> bytes:
         return b""
     start = m.end()
     head = obj_body[: m.start()]
-    lm = _LENGTH_RE.search(head)
+    length = None
+    lm = _LENGTH_DIRECT_RE.search(head)
     if lm:
-        data = obj_body[start : start + int(lm.group(1))]
+        length = int(lm.group(1))
+    elif objs is not None:
+        rm = _LENGTH_REF_RE.search(head)
+        if rm:
+            im = _INT_RE.match(objs.get(int(rm.group(1)), b""))
+            if im:
+                length = int(im.group(1))
+    if length is not None:
+        data = obj_body[start : start + length]
     else:
         em = obj_body.find(b"endstream", start)
         data = obj_body[start : em if em != -1 else len(obj_body)]
@@ -135,7 +186,7 @@ def _split_pages(payload: bytes) -> List[bytes]:
     Fallback when no /Pages tree exists: every stream section in document
     order, concatenated as a single page (the constrained round-1 subset,
     kept so simple single-stream payloads and goldens stay stable)."""
-    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+    objs = _scan_objects(payload)
     kids: List[int] = []
     for body in objs.values():
         if re.search(rb"/Type\s*/Pages\b", body):
@@ -147,9 +198,17 @@ def _split_pages(payload: bytes) -> List[bytes]:
         pages = []
         for pnum in kids:
             body = objs.get(pnum, b"")
-            cm = _CONTENTS_RE.search(body)
-            content = objs.get(int(cm.group(1)), b"") if cm else body
-            pages.append(_stream_bytes(content))
+            cm = _CONTENTS_ANY_RE.search(body)
+            if cm:
+                # single ref or the standard ARRAY form [3 0 R 5 0 R …]:
+                # the page's content is the concatenation of every
+                # referenced stream, in array order
+                refs = [int(r) for r in _REF_RE.findall(cm.group(1))]
+                pages.append(
+                    b"\n".join(_stream_bytes(objs.get(r, b""), objs) for r in refs)
+                )
+            else:
+                pages.append(_stream_bytes(body, objs))
         return pages
     parts = _STREAM_RE.findall(payload)
     return [b"\n".join(parts) if parts else payload]

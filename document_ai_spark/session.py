@@ -36,12 +36,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 1024 rows/batch: fewer exchange round trips than the former 256.
-        # Per-batch memory stays bounded by the SCAN SPLIT, not the row
-        # count — a task's whole input is <= maxPartitionBytes (8 MB
-        # compressed), so even a batch full of giant pages cannot exceed a
-        # few tens of MB decompressed.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # 256 rows/batch: rows carry whole HTML/PDF payloads, and on the
+        # PRODUCTION path the Arrow stage consumes SHUFFLE output (salted
+        # repartition), where no scan-split byte bound applies — a batch
+        # is up to maxRecordsPerBatch post-shuffle rows, so with MB-sized
+        # giant pages 256 keeps the worst batch in the hundreds of MB
+        # (1024 measured only ~6% faster in one window, not worth the
+        # 4x worst-case batch memory / Arrow 2 GB offset headroom).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # commit files by rename-once (v2): the v1 two-phase rename doubles
         # driver-side commit latency for many-file day-partitioned writes

@@ -33,7 +33,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -167,14 +167,18 @@ def _pdf_page_v2(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     # realistic encoding: binary deflate data may contain 'endstream', so
     # only /Length delimits it correctly)
     comp = zlib.compress(p2.encode("utf-8"), 6)
+    # /Length is an INDIRECT reference (5 0 R) with the value object
+    # emitted AFTER the stream — the dominant real-world layout (writers
+    # know the length only after streaming)
     return (
         b"%PDF-1.4\n"
         b"1 0 obj\n<</Type /Pages /Kids [4 0 R 2 0 R]>>\nendobj\n"
         b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
-        b"3 0 obj\n<</Length " + str(len(comp)).encode("ascii")
-        + b" /Filter /FlateDecode>>\nstream\n" + comp + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<</Length 5 0 R /Filter /FlateDecode>>\nstream\n"
+        + comp + b"\nendstream\nendobj\n"
         b"4 0 obj\n<</Type /Page>>\nstream\n" + "\n".join(p1).encode("utf-8")
         + b"\nendstream\nendobj\n"
+        b"5 0 obj\n" + str(len(comp)).encode("ascii") + b"\nendobj\n"
         b"%%EOF\n"
     )
 

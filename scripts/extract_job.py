@@ -32,6 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    unknown = flags - {"--by-day", "--warc"}
+    if unknown:
+        # a misspelled flag must fail loudly, not silently run the wrong
+        # resume granularity / input format
+        print(f"unknown flag(s): {sorted(unknown)}", file=sys.stderr)
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     if len(args) < 2:
         print(__doc__, file=sys.stderr)
         raise SystemExit(2)
@@ -54,7 +61,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("document_ai_spark.extract")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()

@@ -221,3 +221,56 @@ def test_asciihex_stream():
         b"%%EOF\n"
     )
     assert extract_pdf(payload)[0] == "hex encoded page"
+
+
+# -- round-2 review regressions: indirect /Length, /Contents arrays,
+#    binary streams containing structure keywords -------------------------
+
+
+def _doc(*objs: bytes) -> bytes:
+    return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n"
+
+
+def test_indirect_length_reference():
+    import zlib
+
+    body = obj(72, 700, "indirect length page").encode()
+    comp = zlib.compress(body, 6)
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\n<</Length 5 0 R /Filter /FlateDecode>>\nstream\n" + comp + b"\nendstream\nendobj\n",
+        # the length object appears AFTER the stream (the realistic layout)
+        b"5 0 obj\n" + str(len(comp)).encode() + b"\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "indirect length page"
+
+
+def test_contents_array_concatenates_streams():
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents [3 0 R 4 0 R]>>\nendobj\n",
+        b"3 0 obj\nstream\n" + obj(72, 700, "first stream").encode() + b"\nendstream\nendobj\n",
+        b"4 0 obj\nstream\n" + obj(72, 686, "second stream").encode() + b"\nendstream\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "first stream second stream"
+
+
+def test_binary_stream_containing_endobj_keyword():
+    import zlib
+
+    # craft compressed data that CONTAINS the bytes 'endobj' and a fake
+    # object header; the declared /Length must carry the scan across them
+    target = obj(72, 700, "survives evil bytes")
+    comp = zlib.compress(target.encode(), 0)  # stored blocks: content verbatim-ish
+    evil = comp + b"endobj 9 0 obj"
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\n<</Length " + str(len(evil)).encode()
+        + b" /Filter /FlateDecode>>\nstream\n" + evil + b"\nendstream\nendobj\n",
+        b"4 0 obj\nstream\n" + obj(72, 600, "next object intact").encode() + b"\nendstream\nendobj\n",
+    )
+    # zlib.decompress ignores trailing garbage after the deflate stream
+    text, _ = extract_pdf(payload)
+    assert "survives evil bytes" in text

@@ -248,6 +248,14 @@ def test_url_strip_tracking_param_order_invariant(spark):
         ("https://e.com/p?fbclid=x&a=1&gclid=y&b=2", "https://e.com/p?a=1&b=2"),
         ("https://e.com/p?a=1", "https://e.com/p?a=1"),
         ("https://e.com/p", "https://e.com/p"),
+        # literal '&' in the PATH is legal (RFC 3986 sub-delim) and must
+        # survive untouched — regression for the over-firing '&'->'?'
+        # promotion found in round-2 review
+        ("https://e.com/a&b", "https://e.com/a&b"),
+        ("https://e.com/a&b?utm_source=x&c=1", "https://e.com/a&b?c=1"),
+        # consecutive tracking params, first position
+        ("https://e.com/p?utm_source=a&utm_medium=b", "https://e.com/p"),
+        ("https://e.com/p?utm_source=a&utm_medium=b&c=1#f", "https://e.com/p?c=1#f"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(url_strip_tracking(F.col("url"))).collect()]
