@@ -44,12 +44,13 @@ output at any partition count / parallelism level.
 
 Also handled: ``/Filter /FlateDecode`` content streams (zlib-inflated
 before tokenizing — the overwhelmingly common real-PDF encoding),
-``/Filter /ASCIIHexDecode`` streams, and hex strings ``<48656C6C6F>``
+``/Filter /ASCIIHexDecode`` and ``/Filter /ASCII85Decode`` streams, and
+hex strings ``<48656C6C6F>``
 (decoded per spec: whitespace ignored, odd final digit padded with 0).
 
 Out of scope (documented): font widths / ToUnicode CMaps (text is assumed
 to be in a byte-transparent encoding), rotation in Tm (only the e,f
-translation is honored), /ASCII85Decode/LZW and filter CHAINS.
+translation is honored), /LZWDecode and filter CHAINS.
 """
 
 from __future__ import annotations
@@ -68,6 +69,7 @@ _OBJ_START_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _AHX_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/ASCIIHexDecode")
+_A85_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/ASCII85Decode")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 # direct /Length only — '/Length 4 0 R' must NOT parse as length 4
@@ -175,6 +177,22 @@ def _stream_bytes(obj_body: bytes, objs: dict | None = None) -> bytes:
             digits += b"0"
         try:
             data = bytes.fromhex(digits.decode("ascii"))
+        except ValueError:
+            return b""
+    elif _A85_RE.search(head):
+        # ASCII85Decode (§7.4.3): optional '<~' prefix, '~>' EOD,
+        # whitespace ignored, 'z' = four zero bytes. Framing stripped
+        # manually — PDF streams usually carry only the trailing EOD.
+        import base64
+
+        body = data.strip()
+        if body.startswith(b"<~"):
+            body = body[2:]
+        end = body.find(b"~>")
+        if end != -1:
+            body = body[:end]
+        try:
+            data = base64.a85decode(body, ignorechars=b" \t\r\n\v\f")
         except ValueError:
             return b""
     return data

@@ -274,3 +274,17 @@ def test_binary_stream_containing_endobj_keyword():
     # zlib.decompress ignores trailing garbage after the deflate stream
     text, _ = extract_pdf(payload)
     assert "survives evil bytes" in text
+
+
+def test_ascii85_stream():
+    import base64
+
+    body = obj(72, 700, "ascii85 encoded page")
+    enc = base64.a85encode(body.encode()) + b"~>"
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\n<</Length " + str(len(enc)).encode()
+        + b" /Filter /ASCII85Decode>>\nstream\n" + enc + b"\nendstream\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "ascii85 encoded page"
