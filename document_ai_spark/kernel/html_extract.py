@@ -217,11 +217,25 @@ def keep_block(b: Block) -> bool:
     return b.n_chars >= MIN_WRAPPER_CHARS and b.link_density < MAX_LINK_DENSITY_WRAPPER
 
 
-def extract_html(payload: bytes) -> Tuple[str, List[dict]]:
+# markdown mode: structural tags -> markdown markers (the HTML analog of
+# the reference's export_to_markdown, docling_pdf_loader.py:28; the block
+# tokenizer already carries the tag, so this is pure emission)
+MD_PREFIX = {
+    "h1": "# ", "h2": "## ", "h3": "### ", "h4": "#### ",
+    "h5": "##### ", "h6": "###### ", "li": "- ", "blockquote": "> ",
+}
+
+
+def extract_html(payload: bytes, markdown: bool = False) -> Tuple[str, List[dict]]:
     """bytes -> (extracted main text, span dicts).
 
     Span dict: {block_id, char_start, char_end, tag, text_density,
     link_density} with offsets into the returned text (text[s:e] == block).
+
+    ``markdown=True`` emits structured text: h1-h6 blocks get '#'-level
+    prefixes, li '- ', blockquote '> ' (reference parity:
+    export_to_markdown -> MarkdownTextSplitter chunks on this structure).
+    Span offsets include the prefixes so reconstruction still holds.
     """
     html_text = payload.decode("utf-8", errors="replace")
     blocks = tokenize_blocks(html_text)
@@ -232,9 +246,10 @@ def extract_html(payload: bytes) -> Tuple[str, List[dict]]:
     for i, b in enumerate(kept):
         if i > 0:
             pos += 2  # the "\n\n" joiner
+        block_text = (MD_PREFIX.get(b.tag, "") + b.text) if markdown else b.text
         start = pos
-        end = start + len(b.text)
-        parts.append(b.text)
+        end = start + len(block_text)
+        parts.append(block_text)
         spans.append(
             {
                 "block_id": i,

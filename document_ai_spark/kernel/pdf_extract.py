@@ -67,13 +67,18 @@ TJ_SPACE_THRESHOLD = -180  # TJ kerning <= this (1/1000 em) acts as a space
 
 _OBJ_START_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
-_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
-_AHX_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/ASCIIHexDecode")
-_A85_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/ASCII85Decode")
+# /Filter value: a single name or an ORDERED array of names (chains like
+# [/ASCII85Decode /FlateDecode] are common in real writers — the stream is
+# decoded by applying each filter in array order, PDF 32000-1 §7.4.1)
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[((?:\s*/[A-Za-z0-9]+)*)\s*\]|/([A-Za-z0-9]+))")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
-# direct /Length only — '/Length 4 0 R' must NOT parse as length 4
-_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# direct /Length only — '/Length 4 0 R' must NOT parse as length 4. The
+# \b is load-bearing: without it, backtracking on a MULTI-digit object
+# number ('/Length 40 0 R') lets (\d+) shrink to '4' with '0 0 R' failing
+# the lookahead's leading \s+, silently truncating the stream to 4 bytes.
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ANY_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)")
 _INT_RE = re.compile(rb"\s*(\d+)")
@@ -161,45 +166,184 @@ def _stream_bytes(obj_body: bytes, objs: dict | None = None) -> bytes:
     else:
         em = obj_body.find(b"endstream", start)
         data = obj_body[start : em if em != -1 else len(obj_body)]
-    if _FLATE_RE.search(head):
-        import zlib
+    return _decode_filters(head, data)
 
-        try:
-            data = zlib.decompress(data)
-        except zlib.error:
-            return b""
-    elif _AHX_RE.search(head):
-        # ASCIIHexDecode: hex digits, whitespace ignored, '>' terminates,
-        # odd final digit padded with 0 (PDF 32000-1 §7.4.2)
-        body = data.split(b">", 1)[0]
-        digits = bytes(d for d in body if d in b"0123456789abcdefABCDEF")
-        if len(digits) % 2:
-            digits += b"0"
-        try:
-            data = bytes.fromhex(digits.decode("ascii"))
-        except ValueError:
-            return b""
-    elif _A85_RE.search(head):
-        # ASCII85Decode (§7.4.3): optional '<~' prefix, '~>' EOD,
-        # whitespace ignored, 'z' = four zero bytes. Framing stripped
-        # manually — PDF streams usually carry only the trailing EOD.
-        import base64
 
-        body = data.strip()
-        if body.startswith(b"<~"):
-            body = body[2:]
-        end = body.find(b"~>")
-        if end != -1:
-            body = body[:end]
-        try:
-            data = base64.a85decode(body, ignorechars=b" \t\r\n\v\f")
-        except ValueError:
-            return b""
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (PDF 32000-1 §7.4.4): 9..12-bit variable-width codes,
+    256 = clear table, 257 = EOD, code width grows ``early`` codes before
+    the table fills (EarlyChange default 1 — the TIFF/PDF convention).
+    Raises ValueError on a malformed stream (caller isolates)."""
+    out = bytearray()
+    table: dict = {}
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:          # clear table
+                table = {}
+                width = 9
+                next_code = 258
+                prev = None
+                continue
+            if code == 257:          # EOD
+                return bytes(out)
+            if code < 256:
+                entry = bytes((code,))
+            elif code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]   # the KwKwK case
+            else:
+                raise ValueError("LZW: code out of range")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code + early >= (1 << width) and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+    return bytes(out)  # EOD missing: tolerate, emit what decoded
+
+
+def _decode_filters(head: bytes, data: bytes) -> bytes:
+    """Apply the object's /Filter chain (possibly an array, in order) to
+    raw stream bytes. Unknown filters or decode errors yield b'' —
+    per-document error isolation; the kernel stays total."""
+    m = _FILTER_RE.search(head)
+    if not m:
+        return data
+    if m.group(1) is not None:
+        names = _FILTER_NAME_RE.findall(m.group(1))
+    else:
+        names = [m.group(2)]
+    try:
+        for name in names:
+            if name == b"FlateDecode":
+                import zlib
+
+                data = zlib.decompress(data)
+            elif name == b"ASCIIHexDecode":
+                # hex digits, whitespace ignored, '>' terminates, odd
+                # final digit padded with 0 (§7.4.2)
+                body = data.split(b">", 1)[0]
+                digits = bytes(d for d in body if d in _HEXDIGITS)
+                if len(digits) % 2:
+                    digits += b"0"
+                data = bytes.fromhex(digits.decode("ascii"))
+            elif name == b"ASCII85Decode":
+                # optional '<~' prefix, '~>' EOD, whitespace ignored (§7.4.3)
+                import base64
+
+                body = data.strip()
+                if body.startswith(b"<~"):
+                    body = body[2:]
+                end = body.find(b"~>")
+                if end != -1:
+                    body = body[:end]
+                data = base64.a85decode(body, ignorechars=b" \t\r\n\v\f")
+            elif name == b"LZWDecode":
+                data = _lzw_decode(data)
+            else:
+                return b""  # /DCTDecode etc.: opaque here, isolate
+    except Exception:
+        return b""
     return data
 
 
-def _split_pages(payload: bytes) -> List[bytes]:
-    """-> one content-stream bytes blob per page, in reading (/Kids) order.
+# ToUnicode CMap subset (PDF 32000-1 §9.10.3): 1-byte source codes,
+# bfchar pairs and bfrange triples (contiguous or array form), UTF-16BE
+# destinations. Fonts without /ToUnicode keep the byte-transparent path.
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_PAIR_RE = re.compile(rb"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+
+
+def _utf16be_hex_to_str(h: bytes) -> str:
+    if len(h) % 4:
+        h = h.rjust((len(h) // 4 + 1) * 4, b"0")
+    return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", errors="replace")
+
+
+def _parse_cmap(data: bytes) -> dict:
+    """CMap stream bytes -> {source byte -> unicode str}. Total: a
+    malformed CMap yields {} (the font then stays byte-transparent)."""
+    cmap: dict = {}
+    try:
+        for m in _BFCHAR_RE.finditer(data):
+            hexes = [t[0] for t in _CMAP_TOK_RE.findall(m.group(1)) if t[0]]
+            for src, dst in zip(hexes[0::2], hexes[1::2]):
+                if len(src) <= 2:  # 1-byte codespace subset
+                    cmap[int(src, 16)] = _utf16be_hex_to_str(dst)
+        for m in _BFRANGE_RE.finditer(data):
+            toks = _CMAP_TOK_RE.findall(m.group(1))
+            i, n = 0, len(toks)
+            while i < n:
+                if not toks[i][0] or i + 1 >= n or not toks[i + 1][0]:
+                    i += 1  # malformed entry: resync on next hex token
+                    continue
+                lo, hi = int(toks[i][0], 16), int(toks[i + 1][0], 16)
+                one_byte = len(toks[i][0]) <= 2
+                i += 2
+                if i < n and toks[i][1]:  # [ <d0> <d1> ... ] array form
+                    i += 1
+                    code = lo
+                    while i < n and not toks[i][2]:
+                        if toks[i][0] and one_byte and code <= hi:
+                            cmap[code] = _utf16be_hex_to_str(toks[i][0])
+                        code += 1
+                        i += 1
+                    i += 1  # the ']'
+                elif i < n and toks[i][0]:  # contiguous: dst_start + offset
+                    if one_byte:
+                        base = int(toks[i][0], 16)
+                        for code in range(lo, min(hi, 0xFF) + 1):
+                            v = base + (code - lo)
+                            if v <= 0x10FFFF:
+                                cmap[code] = chr(v)
+                    i += 1
+    except Exception:
+        return {}
+    return cmap
+
+
+def _page_fonts(body: bytes, objs: dict, cmap_cache: dict) -> dict:
+    """Page object body -> {font name bytes -> cmap} for fonts declaring
+    /ToUnicode. Inline /Resources<</Font<<...>>>> subset; CMap streams are
+    parsed once per document (cache keyed by object number)."""
+    fm = _FONTDICT_RE.search(body)
+    if not fm:
+        return {}
+    fonts: dict = {}
+    for name, ref in _FONT_PAIR_RE.findall(fm.group(1)):
+        fobj = objs.get(int(ref))
+        if not fobj:
+            continue
+        tm = _TOUNICODE_RE.search(fobj)
+        if not tm:
+            continue
+        cnum = int(tm.group(1))
+        if cnum not in cmap_cache:
+            cmap_cache[cnum] = _parse_cmap(_stream_bytes(objs.get(cnum, b""), objs))
+        if cmap_cache[cnum]:
+            fonts[name] = cmap_cache[cnum]
+    return fonts
+
+
+def _split_pages(payload: bytes) -> List[Tuple[bytes, dict]]:
+    """-> one (content-stream bytes, fonts) pair per page, in reading
+    (/Kids) order. ``fonts`` maps font names to ToUnicode cmaps (empty for
+    pages without CMap'd fonts).
 
     Fallback when no /Pages tree exists: every stream section in document
     order, concatenated as a single page (the constrained round-1 subset,
@@ -214,8 +358,10 @@ def _split_pages(payload: bytes) -> List[bytes]:
             break
     if kids:
         pages = []
+        cmap_cache: dict = {}
         for pnum in kids:
             body = objs.get(pnum, b"")
+            fonts = _page_fonts(body, objs, cmap_cache)
             cm = _CONTENTS_ANY_RE.search(body)
             if cm:
                 # single ref or the standard ARRAY form [3 0 R 5 0 R …]:
@@ -223,22 +369,24 @@ def _split_pages(payload: bytes) -> List[bytes]:
                 # referenced stream, in array order
                 refs = [int(r) for r in _REF_RE.findall(cm.group(1))]
                 pages.append(
-                    b"\n".join(_stream_bytes(objs.get(r, b""), objs) for r in refs)
+                    (b"\n".join(_stream_bytes(objs.get(r, b""), objs) for r in refs), fonts)
                 )
             else:
-                pages.append(_stream_bytes(body, objs))
+                pages.append((_stream_bytes(body, objs), fonts))
         return pages
     parts = _STREAM_RE.findall(payload)
-    return [b"\n".join(parts) if parts else payload]
+    return [(b"\n".join(parts) if parts else payload, {})]
 
 
 # ---------------------------------------------------------------------------
 # content-stream tokenizer
 
 
-def _scan_string(s: bytes, i: int) -> Tuple[str, int]:
+def _scan_string(s: bytes, i: int) -> Tuple[bytes, int]:
     """Scan a PDF literal string starting at s[i] == '(' — handles the
-    escape set and balanced nested parens. Returns (decoded, next_index)."""
+    escape set and balanced nested parens. Returns (raw unescaped BYTES,
+    next_index); decoding to text happens at show time, where the active
+    font's ToUnicode CMap (if any) is known."""
     assert s[i : i + 1] == b"("
     out = bytearray()
     depth = 1
@@ -279,18 +427,22 @@ def _scan_string(s: bytes, i: int) -> Tuple[str, int]:
                 break
         out.append(c)
         i += 1
-    return out.decode("utf-8", errors="replace"), i
+    return bytes(out), i
 
 
 def _tokens(stream: bytes) -> Iterator[Tuple[str, object]]:
+    """REFERENCE tokenizer (per-byte dispatch). Kept as the equivalence
+    oracle for the production regex-scan loop in ``_parse_items`` —
+    tests/test_kernel_pdf.py fuzz-compares the two on random streams.
+    Production code must not call this: it is ~4x slower."""
     i, n = 0, len(stream)
     while i < n:
         c = stream[i : i + 1]
         if c in b" \t\r\n\f\0":
             i += 1
         elif c == b"(":
-            text, i = _scan_string(stream, i)
-            yield ("str", text)
+            raw, i = _scan_string(stream, i)
+            yield ("str", raw.decode("utf-8", errors="replace"))
         elif c == b"[":
             yield ("arr_open", None)
             i += 1
@@ -336,19 +488,197 @@ def _tokens(stream: bytes) -> Iterator[Tuple[str, object]]:
                 i += 1  # zero-progress here would loop forever
                 continue
             tok = stream[i:j].decode("latin-1")
+            c0 = stream[i]
             i = j
-            try:
-                yield ("num", float(tok))
-            except ValueError:
-                yield ("op", tok)
+            # PDF numeric syntax starts [0-9+-.] — gate before float() so
+            # alpha spellings float() accepts ('nan', 'inf') stay operators
+            if 48 <= c0 <= 57 or c0 == 45 or c0 == 43 or c0 == 46:
+                try:
+                    yield ("num", float(tok))
+                    continue
+                except ValueError:
+                    pass
+            yield ("op", tok)
 
 
 # ---------------------------------------------------------------------------
 # text-operator interpreter
 
+# Production single-alternation token scan (the fast_html.py:_SCAN_RE
+# pattern applied to PDF content streams — one compiled-regex match per
+# TOKEN instead of per-byte Python dispatch, ~4x). Character classes are
+# byte-for-byte the reference tokenizer's: PDF whitespace skipped up
+# front, words run until a _DELIMS byte (\f and \x00 are NOT delimiters,
+# matching the reference), '<<' tried before hex strings, and a literal
+# string with escapes or nesting falls back to _scan_string (group 3 —
+# the only construct a regex alternation can't scan).
+_TOK_RE = re.compile(
+    rb"[ \t\r\n\f\x00]*"
+    rb"(?:"
+    rb"([^ \t\r\n()\[\]<>/%]+)"    # 1: number-or-operator word
+    rb"|\(([^()\\]*)\)"            # 2: simple literal string (no \ or nesting)
+    rb"|(\()"                      # 3: complex string -> _scan_string
+    rb"|(\[)"                      # 4: array open
+    rb"|(\])"                      # 5: array close
+    rb"|/([^ \t\r\n()\[\]<>/%]*)"  # 6: name
+    rb"|%[^\n]*\n?"                # comment
+    rb"|<<"                        # dict open
+    rb"|<([^>]*)>?"                # 7: hex string (whitespace tolerated)
+    rb"|."                         # '>' / stray ')': skip one byte
+    rb")"
+)
 
-def _parse_items(stream: bytes) -> List[Tuple[int, int, int, str]]:
-    """-> list of (x, y, size, text) for every shown string, document order."""
+_HEXDIGITS = frozenset(b"0123456789abcdefABCDEF")
+
+
+def _hex_bytes(content: bytes) -> bytes:
+    """Hex-string body -> raw bytes: non-hex bytes ignored, odd digit
+    padded 0. Decoding to text happens at show time (CMap-aware)."""
+    digits = bytes(d for d in content if d in _HEXDIGITS)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except ValueError:
+        return b""
+
+
+# unmapped code under an active ToUnicode CMap: ASCII passes through (real
+# CMaps routinely cover only the non-ASCII range), other bytes are U+FFFD
+_CMAP_FALLBACK = [chr(b) if b < 128 else "�" for b in range(256)]
+
+
+def _shown_text(raw: bytes, cmap: dict | None) -> str:
+    """Raw shown-string bytes -> text through the active font's ToUnicode
+    CMap, or utf-8 (errors=replace) when the font has none."""
+    if cmap is None:
+        return raw.decode("utf-8", errors="replace")
+    fb = _CMAP_FALLBACK
+    return "".join([cmap.get(b, fb[b]) for b in raw])
+
+
+def _parse_items(
+    stream: bytes, fonts: dict | None = None
+) -> List[Tuple[int, int, int, str]]:
+    """-> list of (x, y, size, text) for every shown string, document order.
+
+    Merged tokenizer + interpreter: one _TOK_RE match per token, dispatch
+    on the matched group index. Semantics are pinned to
+    ``_parse_items_reference`` by a fuzz-equivalence test.
+
+    ``fonts``: optional {font name bytes -> ToUnicode cmap dict} from the
+    page's /Resources. When the font selected by Tf has a cmap, shown
+    string BYTES are decoded through it (byte-coded fonts extract real
+    text instead of mojibake); otherwise utf-8 (errors=replace), which is
+    exactly the reference path's behavior.
+    """
+    items: List[Tuple[int, int, int, str]] = []
+    size = 12.0
+    line_x = line_y = 0.0        # start of current text line
+    leading = 0.0
+    nums: List[float] = []       # numeric operand stack
+    strs: List[bytes] = []       # string operand stack, RAW bytes (Tj / ')
+    arr: List[object] | None = None  # TJ array being collected
+    have_fonts = bool(fonts)
+    last_name = b""              # most recent /Name operand (Tf font arg)
+    cur_map: dict | None = None  # active font's ToUnicode cmap
+
+    items_append = items.append
+    n = len(stream)
+    # finditer keeps the inter-token scan in C; the only construct that
+    # needs Python position control is a complex literal string (group 3),
+    # where we jump past it with _scan_string and restart the iterator.
+    # Safe because _TOK_RE matches at EVERY offset (catch-all '.') except a
+    # pure-whitespace tail, so finditer can never silently skip bytes.
+    pos = 0
+    while pos < n:
+        restart = False
+        for m in _TOK_RE.finditer(stream, pos):
+            g = m.lastindex
+            if g is None:        # comment / << / stray delimiter
+                continue
+            if g == 1:           # number-or-operator word
+                w = m[1]
+                c0 = w[0]
+                if 48 <= c0 <= 57 or c0 == 45 or c0 == 43 or c0 == 46:  # 0-9 - + .
+                    try:
+                        v = float(w)
+                    except ValueError:
+                        pass
+                    else:
+                        (arr if arr is not None else nums).append(v)
+                        continue
+                # operator: dispatch, then consume all operands
+                if w == b"Tj":
+                    if strs:
+                        t = " ".join(_shown_text(strs[-1], cur_map).split())
+                        if t:
+                            items_append((int(round(line_x)), int(round(line_y)), int(round(size)), t))
+                elif w == b"Tm":
+                    if len(nums) >= 6:
+                        line_x, line_y = nums[-2], nums[-1]
+                elif w == b"Td" or w == b"TD":
+                    if len(nums) >= 2:
+                        line_x += nums[-2]
+                        line_y += nums[-1]
+                        if w == b"TD":
+                            leading = -nums[-1]
+                elif w == b"TJ":
+                    if arr is not None:
+                        pieces: List[str] = []
+                        for el in arr:
+                            if isinstance(el, bytes):
+                                pieces.append(_shown_text(el, cur_map))
+                            elif el <= TJ_SPACE_THRESHOLD:
+                                pieces.append(" ")
+                        t = " ".join("".join(pieces).split())
+                        if t:
+                            items_append((int(round(line_x)), int(round(line_y)), int(round(size)), t))
+                elif w == b"Tf":
+                    if nums:
+                        size = nums[-1]
+                    if have_fonts:
+                        cur_map = fonts.get(last_name)
+                elif w == b"BT":
+                    line_x = line_y = 0.0
+                    leading = 0.0
+                elif w == b"TL":
+                    if nums:
+                        leading = nums[-1]
+                elif w == b"T*":
+                    line_y -= leading
+                elif w == b"'":
+                    line_y -= leading
+                    if strs:
+                        t = " ".join(_shown_text(strs[-1], cur_map).split())
+                        if t:
+                            items_append((int(round(line_x)), int(round(line_y)), int(round(size)), t))
+                nums = []
+                strs = []
+                arr = None
+            elif g == 2:         # simple literal string (raw bytes)
+                (arr if arr is not None else strs).append(m[2])
+            elif g == 3:         # complex string: escapes / nested parens
+                raw, pos = _scan_string(stream, m.start(3))
+                (arr if arr is not None else strs).append(raw)
+                restart = True
+                break
+            elif g == 4:
+                arr = []
+            elif g == 6:         # name: remember for Tf font selection
+                if have_fonts:
+                    last_name = m[6]
+            elif g == 7:         # hex string (raw bytes)
+                (arr if arr is not None else strs).append(_hex_bytes(m[7]))
+            # g == 5 (]): keep arr until its operator consumes it
+        if not restart:
+            break
+    return items
+
+
+def _parse_items_reference(stream: bytes) -> List[Tuple[int, int, int, str]]:
+    """REFERENCE interpreter over the reference tokenizer — the semantic
+    oracle for ``_parse_items`` (fuzz-equivalence-tested, not production)."""
     items: List[Tuple[int, int, int, str]] = []
     size = 12.0
     line_x = line_y = 0.0        # start of current text line
@@ -448,44 +778,71 @@ def _cluster_columns(items: List[Tuple[int, int, int, str]]) -> List[List[Tuple[
     return cols
 
 
-def _column_regions(col: List[Tuple[int, int, int, str]]) -> List[List[str]]:
-    """Split one column into paragraph regions by vertical gaps."""
+def _column_regions(
+    col: List[Tuple[int, int, int, str]],
+) -> List[List[Tuple[int, int, int, str]]]:
+    """Split one column into paragraph regions (of items) by vertical gaps."""
     # top-to-bottom: y descending; stable tiebreak on x then original text
     lines = sorted(col, key=lambda it: (-it[1], it[0]))
-    regions: List[List[str]] = []
-    cur: List[str] = []
+    regions: List[List[Tuple[int, int, int, str]]] = []
+    cur: List[Tuple[int, int, int, str]] = []
     prev_y = None
     prev_size = None
-    for x, y, size, text in lines:
+    for it in lines:
+        y, size = it[1], it[2]
         if prev_y is not None and (prev_y - y) > PARA_GAP_FACTOR * max(prev_size, size):
             if cur:
                 regions.append(cur)
             cur = []
-        cur.append(text)
+        cur.append(it)
         prev_y, prev_size = y, size
     if cur:
         regions.append(cur)
     return regions
 
 
-def extract_pdf(payload: bytes) -> Tuple[str, List[dict]]:
+# markdown mode: font-size-derived heading levels (the PDF analog of the
+# reference's export_to_markdown — docling_pdf_loader.py:28; body text in
+# this grammar is 10-12pt, so >=17pt reads as h1, 14-16pt as h2)
+MD_H1_SIZE = 17
+MD_H2_SIZE = 14
+
+
+def _region_md_prefix(region: List[Tuple[int, int, int, str]]) -> str:
+    msize = max(it[2] for it in region)
+    if msize >= MD_H1_SIZE:
+        return "# "
+    if msize >= MD_H2_SIZE:
+        return "## "
+    return ""
+
+
+def extract_pdf(payload: bytes, markdown: bool = False) -> Tuple[str, List[dict]]:
     """bytes -> (extracted text in reading order, span dicts).
 
     Spans carry tag='pdf:c<col>r<region>' (single page) or
     'pdf:p<page>c<col>r<region>' (multi-page); densities are 1.0/0.0 (a PDF
     text region has no links).
+
+    ``markdown=True`` emits structured text: regions whose dominant font
+    size crosses the heading thresholds are prefixed '# ' / '## ' (the
+    analog of the reference's PDF->markdown conversion); span offsets
+    include the prefixes so text[s:e] still reconstructs each region.
     """
     pages = _split_pages(payload)
     multi = len(pages) > 1
 
     parts: List[str] = []
     tags: List[str] = []
-    for pi, stream in enumerate(pages):
-        items = _parse_items(stream)
+    for pi, (stream, fonts) in enumerate(pages):
+        items = _parse_items(stream, fonts or None)
         body = [it for it in items if FOOTER_Y < it[1] < HEADER_Y]
         for ci, col in enumerate(_cluster_columns(body)):
             for ri, region in enumerate(_column_regions(col)):
-                parts.append(" ".join(region))
+                text = " ".join(it[3] for it in region)
+                if markdown:
+                    text = _region_md_prefix(region) + text
+                parts.append(text)
                 tags.append(f"pdf:p{pi}c{ci}r{ri}" if multi else f"pdf:c{ci}r{ri}")
 
     spans: List[dict] = []

@@ -88,18 +88,70 @@ def chunk_fixed(
 
 
 # ---------------------------------------------------------------------------
+# heading-structure chunking (JVM-only; the markdown-mode counterpart)
+
+
+def chunk_by_heading(df: DataFrame, text_col: str = "text", id_col: str = "url") -> DataFrame:
+    """Split structure-marked text at markdown heading boundaries: each
+    chunk is a heading plus its following content, until the next heading
+    (the MarkdownHeaderTextSplitter shape — reference parity for
+    document_splitter.py's structure-aware chunking over
+    export_to_markdown output).
+
+    Formulation is lookahead-free so the DuckDB oracle can mirror it in
+    RE2: the boundary string "\\n\\n#" is literal-replaced with
+    "\\x01#", then split on \\x01 — entirely JVM (replace/split/
+    posexplode + one window cumsum for offsets), zero Python. Offsets
+    re-add the removed "\\n\\n" separators, so
+    ``text[char_start:char_end] == chunk_text``. Empty/null text -> zero
+    rows. (A literal \\x01 in the input would add a split point — absent
+    from extracted text, whose kernel normalizes whitespace per block.)
+    """
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    parts = F.split(F.replace(text, F.lit("\n\n#"), F.lit("\x01#")), "\x01")
+    keep = [c for c in df.columns if c != text_col]
+    exploded = (
+        df.filter(F.length(text) > 0)
+        .select(*keep, F.posexplode(parts).alias("chunk_index", "chunk_text"))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("chunk_index")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(F.length("chunk_text")).over(w), F.lit(0))
+    start = (prior + 2 * F.col("chunk_index")).cast("long")
+    return exploded.select(
+        *keep,
+        "chunk_index",
+        F.concat_ws("_chunk_", F.col(id_col).cast("string"), F.col("chunk_index")).alias(
+            "chunk_id"
+        ),
+        "chunk_text",
+        start.alias("char_start"),
+        (start + F.length("chunk_text")).cast("long").alias("char_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # boundary-aware variant (pandas UDF)
 
-_BOUNDARY_SEPS = ["\n\n", "\n", ". ", " "]
+# (separator, chars of it that BELONG to the ending chunk): a heading
+# boundary cuts BEFORE the '#', so the heading starts the next chunk —
+# the reference's markdown splitter keeps headings with their section
+_BOUNDARY_SEPS = [("\n\n#", 2), ("\n\n", 2), ("\n", 1), (". ", 2), (" ", 1)]
 
 
 def split_markdown_py(text: str, chunk_size: int = 4000, overlap: int = 200) -> List[tuple]:
     """Pure-Python oracle for the boundary-aware splitter.
 
     Windows of at most chunk_size chars; each window end is pulled back to
-    the last paragraph/newline/sentence/space boundary in its second half
-    (so chunks end cleanly when possible); next window starts `overlap`
-    chars before the previous end. Deterministic, O(n)."""
+    the best boundary in its second half — heading starts first (so
+    sections stay whole), then paragraph/newline/sentence/space; next
+    window starts `overlap` chars before the previous end. Deterministic,
+    O(n)."""
     if not text:
         return []
     out = []
@@ -112,10 +164,10 @@ def split_markdown_py(text: str, chunk_size: int = 4000, overlap: int = 200) -> 
             window = text[start:end]
             half = chunk_size // 2
             cut = -1
-            for sep in _BOUNDARY_SEPS:
+            for sep, keep_chars in _BOUNDARY_SEPS:
                 p = window.rfind(sep)
                 if p >= half:
-                    cut = p + len(sep)
+                    cut = p + keep_chars
                     break
             if cut > 0:
                 end = start + cut

@@ -55,15 +55,17 @@ def dedup_new_vs_existing(
     incoming: DataFrame, existing: DataFrame, hash_col: str = "doc_hash"
 ) -> DataFrame:
     """The reference's duplicate-skip filter as an anti-join (J1):
-    rows of ``incoming`` whose hash is absent from ``existing``. Broadcast
-    the existing-hash side when it is small (checkpoint tables usually are)."""
+    rows of ``incoming`` whose hash is absent from ``existing``.
+
+    Join strategy is deliberately left to AQE: the existing-hash side is a
+    narrow digest projection, and AQE converts the shuffle anti-join to a
+    broadcast join at runtime whenever the built side lands under
+    ``spark.sql.autoBroadcastJoinThreshold`` — a size measured on REAL
+    post-filter bytes, which no driver-side row-count heuristic can match
+    without triggering an extra count job (tests/test_operators.py pins
+    this contract)."""
     ex = existing.select(hash_col).distinct()
-    return incoming.join(F.broadcast(ex) if _small(ex) else ex, hash_col, "left_anti")
-
-
-def _small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
-    # cheap heuristic; callers on a real cluster should rely on AQE instead
-    return False
+    return incoming.join(ex, hash_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -62,7 +62,9 @@ EXTRACTED_SCHEMA = T.StructType(
 )
 
 
-def _extract_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+def _extract_batches(
+    batches: Iterator["pa.RecordBatch"], markdown: bool = False
+) -> Iterator["pa.RecordBatch"]:
     # imports inside the worker so the closure pickles only names
     import pyarrow as pa
 
@@ -97,7 +99,7 @@ def _extract_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.Record
         s_ld: list = []
         for payload in payloads:
             b = bytes(payload) if payload is not None else b""
-            dh, kd, tx, spans, nc, nb, er = extract_document(b)
+            dh, kd, tx, spans, nc, nb, er = extract_document(b, markdown=markdown)
             doc_hash.append(dh)
             kind.append(kd)
             text.append(tx)
@@ -150,6 +152,7 @@ def extract_pages(
     salt_partitions: int | None = None,
     salt: int = 0,
     heavy_bytes: int = 0,
+    markdown: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) -> extracted DataFrame.
 
@@ -166,6 +169,10 @@ def extract_pages(
     the cluster bottleneck. Routing and bucketing are pure functions of
     (url, payload length), so output is independent of physical
     partitioning (byte-identity invariant).
+
+    ``markdown=True``: the kernel emits structure-marked text ('#'-level
+    headings, '- ' list items; PDF regions with heading-size fonts) —
+    feed `chunk_by_heading` for the reference's markdown-splitter shape.
     """
     # explicit pruning before the UDF; ORDER IS LOAD-BEARING — the Arrow
     # stage addresses input columns positionally (batch.column(i))
@@ -180,5 +187,14 @@ def extract_pages(
             df = light.unionByName(heavy)
         else:
             df = df.repartition(salt_partitions, bucketed)
-    out = df.mapInArrow(_extract_batches, schema=EXTRACTED_SCHEMA)
+    if markdown:
+        # structure-marked text ('# ' headings, '- ' lists) — the analog
+        # of the reference's export_to_markdown; cloudpickle captures the
+        # flag, everything else identical to the plain path
+        def _md_batches(batches):
+            return _extract_batches(batches, markdown=True)
+
+        out = df.mapInArrow(_md_batches, schema=EXTRACTED_SCHEMA)
+    else:
+        out = df.mapInArrow(_extract_batches, schema=EXTRACTED_SCHEMA)
     return out.withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))

@@ -87,6 +87,18 @@ def run_extraction(
 ) -> dict:
     """Run (or resume) the full extraction job. Returns summary counters.
 
+    SCALE FENCE — url-bucket mode is for tests/backfills, NOT production:
+    each of the ``n_groups`` passes filters on ``salted_bucket(url)``,
+    a predicate no file format can prune, so the source is scanned
+    ``n_groups`` times (at 100 TB with n_groups=1024 that is 1024 full
+    scans). The production path is :func:`run_extraction_by_day`, whose
+    groups are warc_day partition values — every group's filter prunes to
+    exactly its partition's files, so the corpus is read once total.
+    Bucket mode earns its keep only where day partitions are unusable
+    (unpartitioned sources, or a targeted re-run of a url subset) and the
+    corpus is small enough to rescan. tests/test_plans.py pins both the
+    fence and the day-mode pruning.
+
     ``fail_after_group`` is a test hook: raise after N groups complete to
     simulate a mid-job crash (resume test, SURVEY.md §5.4).
     """

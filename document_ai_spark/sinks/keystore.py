@@ -101,7 +101,9 @@ class KeyStore:
         Iceberg: DELETE FROM t WHERE key = ?."""
         cur = self.read()
         n_before = cur.count()
-        kept = cur.filter(F.col("key") != key)
+        # null-safe: `key != x` is NULL for NULL-key rows, which a plain
+        # filter would silently drop (inflating the deleted count)
+        kept = cur.filter(~F.col("key").eqNullSafe(F.lit(key)))
         self._swap_in(kept)
         return n_before - self.read().count()
 

@@ -10,11 +10,15 @@ Iceberg table partitioned by ``days(warc_ts)`` — no Iceberg jars in the
 sandbox; identical directory layout).
 
 Row mix (FIXTURES.md §1): ~80% templated HTML (link-dense nav/header/
-footer/ads boilerplate + a text-dense <article> main block), ~10% synthetic
-PDFs — half simple two-column Td/Tj pages, half multi-page documents
-exercising the widened grammar (/Kids order != byte order, /Contents
-indirection, Tm, accumulated Td, TL/T*/', TJ kerning arrays, escaped
-parens) — a Zipf long tail of page sizes with a handful of giant pages
+footer/ads boilerplate + a text-dense <article> main block with <h2>
+section headings and a closing <ul> list), ~10% synthetic PDFs — 40%
+simple two-column Td/Tj pages, 40% multi-page documents exercising the
+widened grammar (/Kids order != byte order, /Contents indirection, Tm,
+accumulated Td, TL/T*/', TJ kerning arrays, escaped parens, an 18pt title
+line, page-2 encodings rotating Flate / [ASCII85+Flate] chain / LZW with
+indirect /Length), 20% byte-coded-font pages whose /ToUnicode CMap maps
++3-shifted bytes back to text — a Zipf long tail of page sizes with a
+handful of giant pages
 (x100 median — exercises salted repartitioning), and one of each edge case:
 empty, whitespace-only, truncated tags, invalid UTF-8, no-main-block, a
 byte-duplicate payload under two urls, and a zero-text-object PDF.
@@ -33,7 +37,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -65,13 +69,28 @@ def _nav_links(rng: random.Random, n: int) -> str:
 
 def _html_page(rng: random.Random, vocab: List[str], n_paras: int) -> Tuple[bytes, str]:
     """-> (payload bytes, expected-ish main text hint). Article paragraphs are
-    the intended extraction; nav/ads/footer are link-dense boilerplate."""
+    the intended extraction; nav/ads/footer are link-dense boilerplate.
+    Articles carry <h2> section headings every ~4 paragraphs and close with
+    a short <ul> list — structure the markdown extraction mode surfaces."""
     paras = [_paragraph(rng, vocab, rng.randint(2, 6)) for _ in range(n_paras)]
     title = _sentence(rng, vocab, 5)
     sidebar = "".join(
         f'<div class="ad">{_nav_links(rng, 4)} buy now</div>' for _ in range(rng.randint(1, 4))
     )
-    body_paras = "".join(f"<p>{p}</p>" for p in paras)
+    pieces: List[str] = []
+    for k, p in enumerate(paras):
+        if k % 4 == 0:
+            pieces.append(f"<h2>{_sentence(rng, vocab, rng.randint(4, 7))}</h2>")
+        pieces.append(f"<p>{p}</p>")
+    pieces.append(
+        "<ul>"
+        + "".join(
+            f"<li>{_sentence(rng, vocab, rng.randint(5, 9))}</li>"
+            for _ in range(rng.randint(2, 4))
+        )
+        + "</ul>"
+    )
+    body_paras = "".join(pieces)
     doc = (
         "<html><head><title>"
         + title
@@ -112,6 +131,56 @@ def _pdf_page(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     return (f"%PDF-1.4\n1 0 obj\n<</Type/Page>>\nstream\n{body}\nendstream\n%%EOF\n").encode("utf-8")
 
 
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode-compatible encoder (9..12-bit variable width codes,
+    256=clear, 257=EOD, EarlyChange=1, clear emitted when the table
+    fills). Deterministic; the kernel's _lzw_decode round-trips it and the
+    convention is pinned by a hand-computed bit vector in tests."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh() -> dict:
+        return {bytes((i,)): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(256)
+    w = b""
+    for b in data:
+        wb = w + bytes((b,))
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w])
+        if next_code + early - 1 >= 4096:  # table full: clear + reset
+            emit(256)
+            table = fresh()
+            next_code = 258
+            width = 9
+        else:
+            table[wb] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+        w = bytes((b,))
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _pdf_page_v2(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     """Multi-page PDF exercising the widened content-stream grammar:
     /Kids page order != document byte order, /Contents indirection, Tm
@@ -130,10 +199,12 @@ def _pdf_page_v2(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     p1 = [
         "BT /F1 10 Tf 1 0 0 1 72 760 Tm (Running Header) Tj ET",
         "BT /F1 8 Tf 1 0 0 1 72 40 Tm (page 1) Tj ET",
-        r"BT /F1 12 Tf 1 0 0 1 72 734 Tm (Note \(aside\) in parens) Tj ET",
-        f"BT /F1 12 Tf 1 0 0 1 72 717 Tm <{hex_line}> Tj ET",
+        # document title: 18pt, own region (>36pt gap below) -> markdown '# '
+        f"BT /F1 18 Tf 1 0 0 1 72 748 Tm ({line()}) Tj ET",
+        r"BT /F1 12 Tf 1 0 0 1 72 704 Tm (Note \(aside\) in parens) Tj ET",
+        f"BT /F1 12 Tf 1 0 0 1 72 687 Tm <{hex_line}> Tj ET",
     ]
-    y = 700
+    y = 670
     for k in range(half):
         t = line()
         if k % 3 == 0 and " " in t:
@@ -163,10 +234,22 @@ def _pdf_page_v2(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     p2 = "\n".join(
         ["BT /F1 10 Tf 72 760 Td (Running Header) Tj ET", td_body, tl_body]
     )
-    # page 2 ships FlateDecode-compressed with a declared /Length (the
-    # realistic encoding: binary deflate data may contain 'endstream', so
-    # only /Length delimits it correctly)
-    comp = zlib.compress(p2.encode("utf-8"), 6)
+    # page 2 ships compressed with a declared /Length (the realistic
+    # encoding: binary data may contain 'endstream', so only /Length
+    # delimits it correctly); the encoding rotates across the filter
+    # surface — plain Flate, the common [/ASCII85Decode /FlateDecode]
+    # chain, or LZW
+    raw = p2.encode("utf-8")
+    enc_pick = rng.random()
+    if enc_pick < 0.4:
+        comp, filt = zlib.compress(raw, 6), b"/Filter /FlateDecode"
+    elif enc_pick < 0.7:
+        import base64
+
+        comp = base64.a85encode(zlib.compress(raw, 6)) + b"~>"
+        filt = b"/Filter [/ASCII85Decode /FlateDecode]"
+    else:
+        comp, filt = _lzw_encode(raw), b"/Filter /LZWDecode"
     # /Length is an INDIRECT reference (5 0 R) with the value object
     # emitted AFTER the stream — the dominant real-world layout (writers
     # know the length only after streaming)
@@ -174,11 +257,63 @@ def _pdf_page_v2(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
         b"%PDF-1.4\n"
         b"1 0 obj\n<</Type /Pages /Kids [4 0 R 2 0 R]>>\nendobj\n"
         b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
-        b"3 0 obj\n<</Length 5 0 R /Filter /FlateDecode>>\nstream\n"
+        b"3 0 obj\n<</Length 5 0 R " + filt + b">>\nstream\n"
         + comp + b"\nendstream\nendobj\n"
         b"4 0 obj\n<</Type /Page>>\nstream\n" + "\n".join(p1).encode("utf-8")
         + b"\nendstream\nendobj\n"
         b"5 0 obj\n" + str(len(comp)).encode("ascii") + b"\nendobj\n"
+        b"%%EOF\n"
+    )
+
+
+def _pdf_page_v3(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
+    """Byte-coded-font PDF: body lines under /F7 are written SHIFTED by +3
+    per byte; /F7 declares a /ToUnicode CMap (bfrange <23><7D> -> <0020>)
+    that maps them back, so a CMap-aware extractor recovers real text while
+    a byte-transparent one reads mojibake. /F1 lines (header/footer/title +
+    every other body line) stay plain — exercises per-Tf font switching.
+    Shifted text uses the ASCII English vocab ('Y'->'Z' so no shifted byte
+    collides with the '\\\\' string delimiter)."""
+    en = _BASE_VOCAB["en"]
+
+    def enc_line() -> str:
+        t = _sentence(rng, en, rng.randint(4, 9)).replace("Y", "Z")
+        return "".join(chr(ord(c) + 3) for c in t)
+
+    def plain_line() -> str:
+        return _sentence(rng, vocab, rng.randint(4, 9)).replace("(", "").replace(")", "")
+
+    body = [
+        "BT /F1 10 Tf 72 760 Td (Running Header) Tj ET",
+        "BT /F1 8 Tf 72 40 Td (page 1) Tj ET",
+        f"BT /F1 18 Tf 72 748 Td ({plain_line()}) Tj ET",
+    ]
+    y = 700
+    for k in range(max(4, n_lines)):
+        if k % 2 == 0:
+            body.append(f"BT /F7 12 Tf 72 {y} Td ({enc_line()}) Tj ET")
+        else:
+            body.append(f"BT /F1 12 Tf 72 {y} Td ({plain_line()}) Tj ET")
+        y -= 40 if rng.random() < 0.2 else 14
+        if y <= 60:
+            break
+    content = "\n".join(body).encode("utf-8")
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfrange\n<23> <7D> <0020>\nendbfrange\nendcmap\n"
+    )
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n"
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F1 5 0 R /F7 6 0 R>>>> "
+        b"/Contents 3 0 R>>\nendobj\n"
+        b"3 0 obj\n<</Length " + str(len(content)).encode("ascii") + b">>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<</Type /Font /Subtype /Type1>>\nendobj\n"
+        b"6 0 obj\n<</Type /Font /ToUnicode 7 0 R>>\nendobj\n"
+        b"7 0 obj\n<</Length " + str(len(cmap)).encode("ascii") + b">>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
         b"%%EOF\n"
     )
 
@@ -224,10 +359,13 @@ def generate_rows(n_docs: int, seed: int = 42) -> Iterator[dict]:
         else:
             n_paras = rng.randint(20, 60)
         if rng.random() < 0.10:
-            if rng.random() < 0.5:
+            kind = rng.random()
+            if kind < 0.4:
                 payload = _pdf_page(rng, vocab, max(4, n_paras))
-            else:
+            elif kind < 0.8:
                 payload = _pdf_page_v2(rng, vocab, max(4, n_paras))
+            else:
+                payload = _pdf_page_v3(rng, vocab, max(4, n_paras))
         else:
             payload, _ = _html_page(rng, vocab, n_paras)
         yield _row(rng, i, payload, lang=lang, tag=None)

@@ -101,7 +101,20 @@ def sessionize_stream_fn(gap_minutes: int = 30, timeout_ms: int | None = None):
     user's open session is flushed on timeout; the default NoTimeout form
     leaves tail sessions in state — a periodic batch backfill
     (sessionize_batch) closes them, which is the cheaper pattern for a
-    training-data pipeline where sessions are consumed in bulk."""
+    training-data pipeline where sessions are consumed in bulk.
+
+    CROSS-BATCH ORDERING PRECONDITION (no event-time watermark in the
+    state logic): events are sorted WITHIN each micro-batch, but batch-
+    equivalent output requires each user's events to arrive in
+    non-decreasing event-time order ACROSS micro-batches (true for
+    time-ordered file drops / log offsets; __spark_entry__ q42 stages one
+    ordered file for exactly this reason). A LATE event — older than the
+    open session's tail — is ABSORBED into the open session (it extends
+    session_start backward and adds to the counts; it can never reopen or
+    corrupt an already-emitted session, and never creates an out-of-order
+    duplicate) — tests/test_streaming.py pins this. Sessions the late
+    event should have belonged to are healed by the production mitigation:
+    a tumbling re-sessionization backfill over sessionize_batch."""
     gap_s = gap_minutes * 60.0
 
     def fn(key, pdfs, state):
@@ -128,6 +141,10 @@ def sessionize_stream_fn(gap_minutes: int = 30, timeout_ms: int | None = None):
                     out.append((user_id, cur[0], cur[1], int(cur[2]), float(cur[3])))
                     cur = [t, t, 1, val]
                 else:
+                    # in-order: extends the tail; LATE (cross-batch) event:
+                    # absorbed — start may extend backward, never corrupts
+                    # an already-emitted session (docstring precondition)
+                    cur[0] = min(cur[0], t)
                     cur[1] = max(cur[1], t)
                     cur[2] += 1
                     cur[3] += val
@@ -156,15 +173,23 @@ def run_sessionize_stream(
     checkpoint_dir: str,
     gap_minutes: int = 30,
     query_name: str = "sessions",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Drive the stateful sessionizer over the events parquet as a stream
     (availableNow, memory sink); returns sessions CLOSED by a later event
-    (idle-flush needs a subsequent trigger's timeout)."""
+    (idle-flush needs a subsequent trigger's timeout).
+
+    ``max_files_per_trigger`` splits availableNow into multiple
+    micro-batches (1 file per batch) — used by tests to exercise
+    cross-batch state behavior."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        spark.readStream.schema(schema)
+        reader
         .parquet(events_path)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )

@@ -55,6 +55,28 @@ def test_short_p_dropped_outside_article():
     assert text == ""
 
 
+def test_markdown_mode_structure_markers():
+    payload = (
+        b"<html><body><article><h1>Top Title Of The Document</h1>"
+        b"<p>First paragraph with plenty of characters to be kept around here.</p>"
+        b"<h3>Deeper section heading text</h3>"
+        b"<ul><li>List item with enough prose to clear the keep threshold.</li></ul>"
+        b"<blockquote>A quoted passage with enough text to be retained too.</blockquote>"
+        b"</article></body></html>"
+    )
+    text, spans = extract_html(payload, markdown=True)
+    assert text.startswith("# Top Title Of The Document")
+    assert "\n\n### Deeper section heading text" in text
+    assert "\n\n- List item" in text
+    assert "\n\n> A quoted passage" in text
+    # offsets include the markers: reconstruction invariant holds
+    for s in spans:
+        assert text[s["char_start"] : s["char_end"]]
+    assert "\n\n".join(text[s["char_start"] : s["char_end"]] for s in spans) == text
+    # plain mode is unchanged by the feature
+    assert "#" not in extract_html(payload)[0]
+
+
 def test_malformed_html_no_crash():
     cases = [
         b"<html><body><article><p>Unclosed paragraph with enough characters to be kept here",

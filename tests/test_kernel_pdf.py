@@ -246,6 +246,24 @@ def test_indirect_length_reference():
     assert extract_pdf(payload)[0] == "indirect length page"
 
 
+def test_indirect_length_multidigit_object_number():
+    # round-3 ADVICE regression: '/Length 40 0 R' must not backtrack into a
+    # direct length of 4 (the old negative lookahead was defeated because
+    # '0 0 R' after the shrunk '4' fails the lookahead's leading \s+,
+    # truncating the stream to 4 bytes and losing the page)
+    import zlib
+
+    body = obj(72, 700, "multidigit length object").encode()
+    comp = zlib.compress(body, 6)
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\n<</Length 40 0 R /Filter /FlateDecode>>\nstream\n" + comp + b"\nendstream\nendobj\n",
+        b"40 0 obj\n" + str(len(comp)).encode() + b"\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "multidigit length object"
+
+
 def test_contents_array_concatenates_streams():
     payload = _doc(
         b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
@@ -274,6 +292,196 @@ def test_binary_stream_containing_endobj_keyword():
     # zlib.decompress ignores trailing garbage after the deflate stream
     text, _ = extract_pdf(payload)
     assert "survives evil bytes" in text
+
+
+# -- round 3: filter chains, LZW, ToUnicode CMaps, markdown mode -----------
+
+
+def test_lzw_convention_pinned_bit_vector():
+    # hand-computed: encode('AAAAAA') emits codes 256,65,258,259,257 at 9
+    # bits = 0x80 0x10 0x60 0x50 0x38 0x08 (EarlyChange=1 convention)
+    from document_ai_spark.kernel.pdf_extract import _lzw_decode
+    from document_ai_spark.sources.pages import _lzw_encode
+
+    vec = bytes.fromhex("801060503808")
+    assert _lzw_encode(b"AAAAAA") == vec
+    assert _lzw_decode(vec) == b"AAAAAA"
+
+
+def test_lzw_roundtrip_fuzz():
+    import random
+
+    from document_ai_spark.kernel.pdf_extract import _lzw_decode
+    from document_ai_spark.sources.pages import _lzw_encode
+
+    rng = random.Random(3)
+    for _ in range(40):
+        n = rng.randrange(0, 20000)
+        data = bytes(rng.randrange(4) * 60 + rng.randrange(60) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data)) == data
+    # incompressible data fills the 12-bit table -> exercises clear+reset
+    data = bytes(rng.randrange(256) for _ in range(40000))
+    assert _lzw_decode(_lzw_encode(data)) == data
+    # truncated / garbage LZW never hangs, raises only ValueError
+    for _ in range(100):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        try:
+            _lzw_decode(junk)
+        except ValueError:
+            pass
+
+
+def test_filter_chain_ascii85_flate():
+    import base64
+    import zlib
+
+    body = obj(72, 700, "chained filter page")
+    comp = zlib.compress(body.encode(), 6)
+    enc = base64.a85encode(comp) + b"~>"
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\n<</Length " + str(len(enc)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode]>>\nstream\n" + enc + b"\nendstream\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "chained filter page"
+
+
+def test_lzw_stream():
+    from document_ai_spark.sources.pages import _lzw_encode
+
+    body = obj(72, 700, "lzw page text")
+    enc = _lzw_encode(body.encode())
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\n<</Length " + str(len(enc)).encode()
+        + b" /Filter /LZWDecode>>\nstream\n" + enc + b"\nendstream\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "lzw page text"
+
+
+def test_unknown_filter_isolated():
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\n<</Length 4 /Filter /DCTDecode>>\nstream\nabcd\nendstream\nendobj\n",
+    )
+    text, spans = extract_pdf(payload)
+    assert text == "" and spans == []
+
+
+def _cmap_doc(stream_body: bytes, cmap: bytes) -> bytes:
+    return _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F7 5 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\n" + stream_body + b"\nendstream\nendobj\n",
+        b"5 0 obj\n<</Type /Font /ToUnicode 6 0 R>>\nendobj\n",
+        b"6 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+    )
+
+
+def test_tounicode_bfrange_contiguous():
+    plain = "Encoded heading text"
+    shifted = bytes(ord(c) + 3 for c in plain)
+    cmap = b"begincmap\n1 beginbfrange\n<23> <7D> <0020>\nendbfrange\nendcmap\n"
+    payload = _cmap_doc(b"BT /F7 12 Tf 72 700 Td (" + shifted + b") Tj ET", cmap)
+    assert extract_pdf(payload)[0] == plain
+
+
+def test_tounicode_bfchar_and_multibyte_dst():
+    # bfchar pairs incl. a two-code-unit destination ('fi' ligature -> "fi")
+    cmap = (
+        b"begincmap\nbeginbfchar\n"
+        b"<41> <0058>\n"          # 'A' -> 'X'
+        b"<42> <00660069>\n"      # 'B' -> 'fi'
+        b"endbfchar\nendcmap\n"
+    )
+    payload = _cmap_doc(b"BT /F7 12 Tf 72 700 Td (AB cd) Tj ET", cmap)
+    # unmapped ASCII (space, c, d) passes through
+    assert extract_pdf(payload)[0] == "Xfi cd"
+
+
+def test_tounicode_bfrange_array_form():
+    cmap = (
+        b"begincmap\nbeginbfrange\n"
+        b"<41> <43> [<0058> <0059> <005A>]\n"   # A,B,C -> X,Y,Z
+        b"endbfrange\nendcmap\n"
+    )
+    payload = _cmap_doc(b"BT /F7 12 Tf 72 700 Td (ABC ok) Tj ET", cmap)
+    assert extract_pdf(payload)[0] == "XYZ ok"
+
+
+def test_font_switching_between_text_objects():
+    plain = "plain line here"
+    enc = bytes(ord(c) + 3 for c in "secret line here")
+    cmap = b"begincmap\n1 beginbfrange\n<23> <7D> <0020>\nendbfrange\nendcmap\n"
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F1 8 0 R /F7 5 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F1 12 Tf 72 700 Td (" + plain.encode()
+        + b") Tj ET\nBT /F7 12 Tf 72 686 Td (" + enc + b") Tj ET\nendstream\nendobj\n",
+        b"5 0 obj\n<</Type /Font /ToUnicode 6 0 R>>\nendobj\n",
+        b"6 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+        b"8 0 obj\n<</Type /Font /Subtype /Type1>>\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "plain line here secret line here"
+
+
+def test_malformed_cmap_is_isolated():
+    cmap = b"begincmap\nbeginbfrange\n<zz> garbage [ <41>\nendcmap\n"
+    payload = _cmap_doc(b"BT /F7 12 Tf 72 700 Td (raw text stays) Tj ET", cmap)
+    # unparsable cmap -> font stays byte-transparent
+    assert extract_pdf(payload)[0] == "raw text stays"
+
+
+def test_pdf_markdown_heading_levels():
+    payload = pdf(
+        obj(72, 700, "Document Title Here", 18),
+        obj(72, 640, "Section heading line", 14),
+        obj(72, 580, "body paragraph text"),
+    )
+    text, _ = extract_pdf(payload, markdown=True)
+    assert text == "# Document Title Here\n\n## Section heading line\n\nbody paragraph text"
+    # plain mode unchanged
+    assert "#" not in extract_pdf(payload)[0]
+
+
+# -- round 3: regex-scan interpreter equivalence ---------------------------
+
+
+def test_fast_interpreter_matches_reference():
+    """The production regex-scan _parse_items must be item-identical to the
+    per-byte reference path on corpus streams, random garbage, and
+    structured token soup (the same pinning strategy as fast HTML)."""
+    import random
+
+    from document_ai_spark.kernel.pdf_extract import (
+        _parse_items,
+        _parse_items_reference,
+        _split_pages,
+    )
+    from document_ai_spark.sources.pages import generate_rows
+
+    for r in generate_rows(400, seed=42):
+        if is_pdf(r["html"]):
+            for s, _fonts in _split_pages(r["html"]):
+                assert _parse_items(s) == _parse_items_reference(s)
+
+    rng = random.Random(11)
+    for _ in range(500):
+        s = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+        assert _parse_items(s) == _parse_items_reference(s), s
+
+    soup = [
+        "BT", "ET", "Tf", "Td", "TD", "Tm", "TL", "T*", "Tj", "TJ", "'",
+        "[", "]", "(abc)", r"(a\(b\)c)", "(ne(st)ed)", "<48656C6C6F>",
+        "<4 8 65>", "12", "-14.5", ".5", "+3", "/F1", "%comment", "<<",
+        "5e2", "nan", "inf", "(", ")", ">", "<",
+    ]
+    for _ in range(1000):
+        s = " ".join(rng.choice(soup) for _ in range(rng.randrange(1, 50))).encode()
+        assert _parse_items(s) == _parse_items_reference(s), s
 
 
 def test_ascii85_stream():

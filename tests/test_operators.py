@@ -36,6 +36,33 @@ def test_chunk_markdown_matches_python_oracle(spark, docs):
     assert got_rows == want
 
 
+def test_chunk_by_heading_splits_on_structure(spark):
+    from document_ai_spark.operators.chunking import chunk_by_heading
+
+    md = (
+        "# Title\n\nintro paragraph text\n\n## Section One\n\nbody one"
+        "\n\nmore body\n\n## Section Two\n\nbody two"
+    )
+    df = spark.createDataFrame([("u1", md), ("u2", "no headings at all"), ("u3", "")],
+                               "url string, text string")
+    got = sorted(
+        (r.url, r.chunk_index, r.chunk_text, r.char_start, r.char_end)
+        for r in chunk_by_heading(df).collect()
+    )
+    # u1: chunks start at each heading; u2: single chunk; u3 (empty): none
+    assert [g[2] for g in got if g[0] == "u1"] == [
+        "# Title\n\nintro paragraph text",
+        "## Section One\n\nbody one\n\nmore body",
+        "## Section Two\n\nbody two",
+    ]
+    assert [g[2] for g in got if g[0] == "u2"] == ["no headings at all"]
+    assert not [g for g in got if g[0] == "u3"]
+    # offsets reconstruct the original text exactly
+    for url, text in [("u1", md), ("u2", "no headings at all")]:
+        for _, _, chunk, s, e in [g for g in got if g[0] == url]:
+            assert text[s:e] == chunk
+
+
 def test_chunk_spans_reconstruct(spark, docs):
     from document_ai_spark.operators.chunking import chunk_fixed
 

@@ -82,6 +82,54 @@ def test_compact_write_shuffle_not_aqe_coalesced(spark, pages_dir):
     assert n == expected
 
 
+def test_day_mode_group_filter_is_partition_pruned(spark, pages_dir):
+    """The production path (run_extraction_by_day) filters on warc_day — a
+    PARTITION column — so each group job's scan reads only its own
+    partition's files: G groups cost ONE total corpus scan."""
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.plans.pipeline import list_days, read_pages
+
+    day = list_days(pages_dir)[0]
+    df = read_pages(spark, pages_dir).filter(F.col("warc_day") == day)
+    p = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m is not None and "warc_day" in m.group(1)
+
+
+def test_bucket_mode_group_filter_cannot_prune(spark, pages_dir):
+    """The url-bucket group filter is a hash of url — NOT prunable, which
+    is why run_extraction's docstring fences bucket mode to tests/backfills
+    (n_groups passes = n_groups full scans at scale)."""
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.plans.checkpoint import GROUP_SALT
+    from document_ai_spark.functions.hashing import salted_bucket
+    from document_ai_spark.plans.pipeline import read_pages
+
+    df = read_pages(spark, pages_dir).filter(
+        salted_bucket(F.col("url"), 8, GROUP_SALT) == 0
+    )
+    p = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m is None or "url" not in m.group(1)  # nothing useful pruned
+
+
+def test_dedup_anti_join_leaves_strategy_to_aqe(spark):
+    """dedup_new_vs_existing adds NO broadcast hint: AQE converts the
+    shuffle anti-join at runtime from real post-filter sizes (the
+    docstring contract — a driver-side row-count heuristic would cost an
+    extra count job and still guess)."""
+    from document_ai_spark.operators.dedup import dedup_new_vs_existing
+
+    inc = spark.range(100).selectExpr("cast(id as string) as doc_hash", "id")
+    ex = spark.range(10).selectExpr("cast(id as string) as doc_hash")
+    df = dedup_new_vs_existing(inc, ex)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed  # no ResolvedHint/UnresolvedHint anywhere
+    assert df.count() == 90
+
+
 def test_day_group_key_stability_and_ranges():
     from document_ai_spark.plans.pipeline import day_group_key
 

@@ -107,6 +107,54 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     assert len(want) == 3  # u1: 1 closed, u2: 2 closed, u3: 0
 
 
+def test_sessionize_stream_out_of_order_batches_absorb_late_events(spark, tmp_path):
+    """Pins the documented cross-batch precondition (sessionize_stream_fn
+    docstring): a micro-batch delivering an event OLDER than the open
+    session's tail absorbs it into the open session — session_start
+    extends backward, counts/sums include it, and no already-emitted
+    session is reopened or duplicated."""
+    import datetime as dt
+    import glob
+    import os
+    import time
+
+    from document_ai_spark.streaming.sessionize import run_sessionize_stream
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+    def ev(eid, minutes, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), 1, "click", value, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+
+    # file 1: an open session [0, 10]; file 2: a LATE event at -20 minutes
+    # (older than the open tail), then one at +60 that closes the session.
+    # maxFilesPerTrigger=1 makes each file its own micro-batch; the file
+    # source orders batches by modification time, pinned via os.utime.
+    spark.createDataFrame([ev(1, 0, 1.0), ev(2, 10, 2.0)], schema).coalesce(
+        1
+    ).write.parquet(src)
+    now = time.time()
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        os.utime(f, (now - 100, now - 100))
+    spark.createDataFrame([ev(3, -20, 4.0), ev(4, 60, 8.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    out = run_sessionize_stream(
+        spark, src, ckpt, gap_minutes=30, query_name="ooo_t", max_files_per_trigger=1
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the emitted session covers the absorbed late event: start extended
+    # backward to -20min, end stays 10min, all 3 pre-gap events counted
+    assert r.session_start == t0 + dt.timedelta(minutes=-20)
+    assert r.session_end == t0 + dt.timedelta(minutes=10)
+    assert r.n_events == 3 and r.sum_value == 7.0
+
+
 def test_sessionize_batch_tolerates_hot_user_skew(spark):
     """One power user holding ~15% of all events (the classic skewed key).
     Per-user sessionization REQUIRES all of a user's events in one task —
