@@ -469,6 +469,27 @@ def q29_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_id")
 
 
+def q46_sessionize_sharded(spark, sf_dir):
+    """Hot-key-safe TWO-PASS sessionization (per-(user,day) shards, then a
+    boundary merge — streaming/sessionize.sessionize_sharded). The oracle
+    is single-pass SQL sessionization: the two must produce IDENTICAL
+    sessions (the gap-merge theorem), which is exactly what makes the
+    sharded form a safe escape hatch for bot-traffic keys at 100 TB.
+    Sums aggregate as DECIMAL so shard re-aggregation is exact."""
+    from document_ai_spark.streaming.sessionize import sessionize_sharded
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_sharded(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round(F.col("sum_value_dec").cast("double"), 2).alias("sum_value"),
+    ).orderBy("user_id", "session_id")
+
+
 # -- rows-only (non-SQL-expressible; python-oracle'd in tests/) -------------
 
 def q22_simhash_neardup(spark, sf_dir):
@@ -920,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_lang_trigram": q43_lang_trigram,
         "q44_incremental_extract": q44_incremental_extract,
         "q45_markdown_chunks": q45_markdown_chunks,
+        "q46_sessionize_sharded": q46_sessionize_sharded,
     }
 
 
@@ -1368,6 +1390,29 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
   count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
+""",
+        # SINGLE-pass sessionization SQL — deliberately not a re-derivation
+        # of the shards: equality with the two-pass Spark plan IS the claim
+        # (decimal sum makes shard re-aggregation exact, so values match too)
+        "q46_sessionize_sharded": """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+  FROM s
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
 """,
         "q30_metrics_rollup": """

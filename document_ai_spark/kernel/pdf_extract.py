@@ -48,9 +48,16 @@ before tokenizing — the overwhelmingly common real-PDF encoding),
 hex strings ``<48656C6C6F>``
 (decoded per spec: whitespace ignored, odd final digit padded with 0).
 
-Out of scope (documented): font widths / ToUnicode CMaps (text is assumed
-to be in a byte-transparent encoding), rotation in Tm (only the e,f
-translation is honored), /LZWDecode and filter CHAINS.
+Also handled (round 3): ordered ``/Filter`` CHAINS (arrays applied in
+sequence), ``/LZWDecode``, 1-byte-codespace ``/ToUnicode`` CMaps (bfchar +
+bfrange, UTF-16BE destinations) selected per ``Tf`` font, the FULL ``Tm``
+matrix (rotation/scaling: line advance composes in text space, item
+position is the matrix translation, item size scales by hypot(b, d)), and
+markdown-structured emission (``markdown=True``: heading-size regions get
+'#'-prefixes).
+
+Out of scope (documented): font width metrics (inter-glyph spacing is the
+TJ kerning heuristic only) and 2-byte CMap codespaces.
 """
 
 from __future__ import annotations
@@ -571,10 +578,19 @@ def _parse_items(
     string BYTES are decoded through it (byte-coded fonts extract real
     text instead of mojibake); otherwise utf-8 (errors=replace), which is
     exactly the reference path's behavior.
+
+    The FULL text-line matrix [a b c d e f] is tracked (not just e,f):
+    Tm sets it, Td/TD/T*/' compose a translation IN TEXT SPACE (so line
+    advance follows a rotated/scaled baseline), item position is the
+    matrix translation and item font size is scaled by the y-axis image
+    length hypot(b, d) — identity-matrix documents (the entire corpus)
+    are bit-identical to the previous e,f-only behavior since hypot(0,1)
+    is exactly 1.0.
     """
     items: List[Tuple[int, int, int, str]] = []
     size = 12.0
-    line_x = line_y = 0.0        # start of current text line
+    # text line matrix [a b c d e f]; BT resets to identity
+    ma, mb, mc, md_, me, mf = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
     leading = 0.0
     nums: List[float] = []       # numeric operand stack
     strs: List[bytes] = []       # string operand stack, RAW bytes (Tj / ')
@@ -606,6 +622,11 @@ def _parse_items(
                     except ValueError:
                         pass
                     else:
+                        # totality clamp: absurd magnitudes ('1e400' -> inf,
+                        # '-nan') would make matrix math non-finite and
+                        # round() throw; no real coordinate exceeds 1e9
+                        if not (-1e9 <= v <= 1e9):
+                            v = 0.0
                         (arr if arr is not None else nums).append(v)
                         continue
                 # operator: dispatch, then consume all operands
@@ -613,16 +634,17 @@ def _parse_items(
                     if strs:
                         t = " ".join(_shown_text(strs[-1], cur_map).split())
                         if t:
-                            items_append((int(round(line_x)), int(round(line_y)), int(round(size)), t))
+                            items_append((int(round(me)), int(round(mf)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t))
                 elif w == b"Tm":
                     if len(nums) >= 6:
-                        line_x, line_y = nums[-2], nums[-1]
+                        ma, mb, mc, md_, me, mf = nums[-6:]
                 elif w == b"Td" or w == b"TD":
                     if len(nums) >= 2:
-                        line_x += nums[-2]
-                        line_y += nums[-1]
+                        tx, ty = nums[-2], nums[-1]
+                        me += tx * ma + ty * mc
+                        mf += tx * mb + ty * md_
                         if w == b"TD":
-                            leading = -nums[-1]
+                            leading = -ty
                 elif w == b"TJ":
                     if arr is not None:
                         pieces: List[str] = []
@@ -633,26 +655,28 @@ def _parse_items(
                                 pieces.append(" ")
                         t = " ".join("".join(pieces).split())
                         if t:
-                            items_append((int(round(line_x)), int(round(line_y)), int(round(size)), t))
+                            items_append((int(round(me)), int(round(mf)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t))
                 elif w == b"Tf":
                     if nums:
                         size = nums[-1]
                     if have_fonts:
                         cur_map = fonts.get(last_name)
                 elif w == b"BT":
-                    line_x = line_y = 0.0
+                    ma, mb, mc, md_, me, mf = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
                     leading = 0.0
                 elif w == b"TL":
                     if nums:
                         leading = nums[-1]
                 elif w == b"T*":
-                    line_y -= leading
+                    me += -leading * mc
+                    mf += -leading * md_
                 elif w == b"'":
-                    line_y -= leading
+                    me += -leading * mc
+                    mf += -leading * md_
                     if strs:
                         t = " ".join(_shown_text(strs[-1], cur_map).split())
                         if t:
-                            items_append((int(round(line_x)), int(round(line_y)), int(round(size)), t))
+                            items_append((int(round(me)), int(round(mf)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t))
                 nums = []
                 strs = []
                 arr = None
@@ -681,7 +705,9 @@ def _parse_items_reference(stream: bytes) -> List[Tuple[int, int, int, str]]:
     oracle for ``_parse_items`` (fuzz-equivalence-tested, not production)."""
     items: List[Tuple[int, int, int, str]] = []
     size = 12.0
-    line_x = line_y = 0.0        # start of current text line
+    # full text line matrix [a b c d e f], identical arithmetic (same
+    # expression shapes, so bit-identical floats) to the production loop
+    ma, mb, mc, md_, md_e, md_f = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
     leading = 0.0
     nums: List[float] = []       # numeric operand stack
     strs: List[str] = []         # string operand stack (Tj / ')
@@ -690,14 +716,17 @@ def _parse_items_reference(stream: bytes) -> List[Tuple[int, int, int, str]]:
     def show(text: str) -> None:
         text = " ".join(text.split())
         if text:
-            items.append((int(round(line_x)), int(round(line_y)), int(round(size)), text))
+            items.append((int(round(md_e)), int(round(md_f)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), text))
 
     def tstar() -> None:
-        nonlocal line_y
-        line_y -= leading
+        nonlocal md_e, md_f
+        md_e += -leading * mc
+        md_f += -leading * md_
 
     for kind, val in _tokens(stream):
         if kind == "num":
+            if not (-1e9 <= val <= 1e9):  # totality clamp, same as production
+                val = 0.0
             (arr if arr is not None else nums).append(val)
         elif kind == "str":
             if arr is not None:
@@ -713,20 +742,21 @@ def _parse_items_reference(stream: bytes) -> List[Tuple[int, int, int, str]]:
         elif kind == "op":
             op = val
             if op == "BT":
-                line_x = line_y = 0.0
+                ma, mb, mc, md_, md_e, md_f = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
                 leading = 0.0
             elif op == "Tf":
                 if nums:
                     size = nums[-1]
             elif op in ("Td", "TD"):
                 if len(nums) >= 2:
-                    line_x += nums[-2]
-                    line_y += nums[-1]
+                    tx, ty = nums[-2], nums[-1]
+                    md_e += tx * ma + ty * mc
+                    md_f += tx * mb + ty * md_
                     if op == "TD":
-                        leading = -nums[-1]
+                        leading = -ty
             elif op == "Tm":
                 if len(nums) >= 6:
-                    line_x, line_y = nums[-2], nums[-1]
+                    ma, mb, mc, md_, md_e, md_f = nums[-6:]
             elif op == "TL":
                 if nums:
                     leading = nums[-1]

@@ -47,7 +47,11 @@ def group_dir(out_dir: str, group_id: int) -> str:
 
 
 def compact_for_write(
-    df: DataFrame, files_per_day: int, id_col: str = "url", num_tasks: int | None = None
+    df: DataFrame,
+    files_per_day: int,
+    id_col: str = "url",
+    num_tasks: int | None = None,
+    n_days_hint: int | None = None,
 ) -> DataFrame:
     """Shuffle so `write.partitionBy("warc_day")` emits ~files_per_day files
     per day instead of (tasks x days) small files.
@@ -65,11 +69,24 @@ def compact_for_write(
     (each combo hashes wholly into one task), so ``num_tasks`` only sets
     write parallelism; it is passed explicitly so AQE does NOT coalesce the
     write stage down to a few tasks and serialize the parquet/zstd encode.
-    Default: the session's shuffle.partitions.
+
+    TASK-COUNT RULE (measured, round 3): the write stage's unit of work is
+    one (day, bucket) combo, and HASH-packing C combos into ~C or fewer
+    tasks leaves collision stragglers (a task drawing 2-3 combos runs the
+    stage tail alone while cores idle) — at 4N parallelism that tail cost
+    the N->4N efficiency ~7-13%. Set tasks >= ~4x the combo count so the
+    expected max combos-per-task is ~1 and waves pack evenly; empty tasks
+    are ~ms each. Pass ``n_days_hint`` (number of distinct warc_day
+    values) to apply this automatically: num_tasks =
+    max(shuffle.partitions, 4 * n_days_hint * files_per_day). Explicit
+    ``num_tasks`` wins over the hint. Default without either: the
+    session's shuffle.partitions (fine whenever combos <= partitions / 4).
     """
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_day))
     if num_tasks is None:
         num_tasks = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if n_days_hint:
+            num_tasks = max(num_tasks, 4 * n_days_hint * files_per_day)
     return df.repartition(num_tasks, F.col("warc_day"), bucket)
 
 
@@ -84,6 +101,7 @@ def run_extraction(
     fail_after_group: int | None = None,
     files_per_day: int | None = None,
     source_format: str = "parquet",
+    markdown: bool = False,
 ) -> dict:
     """Run (or resume) the full extraction job. Returns summary counters.
 
@@ -113,7 +131,7 @@ def run_extraction(
             continue
         started = time.time()
         part = pages.filter(salted_bucket(F.col("url"), n_groups, cp.GROUP_SALT) == g)
-        extracted = extract_pages(part, salt_partitions=salt_partitions)
+        extracted = extract_pages(part, salt_partitions=salt_partitions, markdown=markdown)
         if files_per_day:
             extracted = compact_for_write(extracted, files_per_day)
         gdir = group_dir(out_dir, g)
@@ -187,6 +205,7 @@ def run_extraction_by_day(
     concurrency: int = 2,
     files_per_day: int = 8,
     run_id: str | None = None,
+    markdown: bool = False,
 ) -> dict:
     """Production day-partitioned extraction with concurrent group jobs.
 
@@ -216,7 +235,9 @@ def run_extraction_by_day(
     def do_day(day):
         started = time.time()
         part = read_pages(spark, pages_path).filter(F.col("warc_day") == day)
-        extracted = compact_for_write(extract_pages(part), files_per_day)
+        extracted = compact_for_write(
+            extract_pages(part, markdown=markdown), files_per_day, n_days_hint=1
+        )
         gdir = os.path.join(out_dir, f"warc_day={day}")
         extracted.drop("warc_day").write.mode("overwrite").parquet(gdir)
         stats = (

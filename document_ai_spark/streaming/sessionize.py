@@ -22,10 +22,11 @@ event list), so url-hash-style salting does NOT apply here (a salted split
 would sever sessions at salt boundaries). At 100 TB the mitigations are:
 (1) AQE skew handling for the surrounding stages, (2) per-key state bounded
 to the open session only (the stream form holds O(1) state per user, not
-the event list), and (3) for a pathological single key (bot traffic), a
-pre-filter that routes it to a dedicated two-pass job: sessionize per
-(user, day) shards, then merge sessions that straddle shard boundaries —
-a deterministic reduce over ~days rows per user.
+the event list), and (3) for a pathological single key (bot traffic),
+``sessionize_sharded`` — the IMPLEMENTED two-pass form: sessionize per
+(user, day) shard, then merge sessions that straddle shard boundaries — a
+deterministic reduce over ~days rows per user, proven session-identical
+to the single-pass form (q46 oracles it against the single-pass SQL).
 """
 
 from __future__ import annotations
@@ -86,6 +87,78 @@ def sessionize_batch(
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
             F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_sharded(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Two-pass HOT-KEY-SAFE sessionization — the escape hatch this
+    module's header documents for pathological single keys (bot traffic):
+
+      pass 1: sessionize within (user, calendar day of ts) — a bot user's
+              billion events split across ~days-many window partitions
+              instead of landing wholly in one task;
+      pass 2: merge per-shard session INTERVALS across day boundaries
+              with the same gap rule (~days rows per user — trivial).
+
+    Produces exactly ``sessionize_batch``'s sessions (same boundaries,
+    numbering, and counts) by the gap-merge argument: a split inside a
+    shard is also a global split, and a global session cut by a day
+    boundary is re-joined in pass 2 iff the boundary gap <= gap — which
+    is the same test the single-pass form applies. Event-value sums
+    aggregate as DECIMAL(18,6) (exact, associative), so re-aggregating
+    shard partials is bit-identical to the single-pass sum regardless of
+    partitioning; the caller rounds after a final cast to double.
+    """
+    gap = F.lit(gap_minutes * 60)
+    ev = events.withColumn("_shard", F.to_date(F.col(ts_col))).withColumn(
+        "_val", F.col(value_col).cast("decimal(18,6)")
+    )
+    w1 = Window.partitionBy(user_col, "_shard").orderBy(
+        F.col(ts_col), F.col(order_tiebreak)
+    )
+    prev_ts = F.lag(F.col(ts_col)).over(w1)
+    new1 = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap),
+        1,
+    ).otherwise(0)
+    sid1 = F.sum(new1).over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sub = (
+        ev.withColumn("_sid", sid1)
+        .groupBy(user_col, "_shard", "_sid")
+        .agg(
+            F.min(ts_col).alias("s_start"),
+            F.max(ts_col).alias("s_end"),
+            F.count("*").alias("n"),
+            F.sum("_val").alias("v"),
+        )
+    )
+    # pass 2: per-user interval merge (intervals are time-disjoint, so
+    # ordering by s_start is total and deterministic)
+    w2 = Window.partitionBy(user_col).orderBy("s_start", "s_end")
+    prev_end = F.lag("s_end").over(w2)
+    new2 = F.when(
+        prev_end.isNull()
+        | ((F.unix_timestamp(F.col("s_start")) - F.unix_timestamp(prev_end)) > gap),
+        1,
+    ).otherwise(0)
+    sid2 = F.sum(new2).over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        sub.withColumn("_sid2", sid2)
+        .groupBy(F.col(user_col).alias("user_id"), F.col("_sid2").alias("session_id"))
+        .agg(
+            F.min("s_start").alias("session_start"),
+            F.max("s_end").alias("session_end"),
+            F.sum("n").alias("n_events"),
+            F.sum("v").alias("sum_value_dec"),
         )
     )
 

@@ -114,7 +114,7 @@ def worker(cores: int, corpus: str, out: str) -> None:
     warm_out = out + "_warm"
     shutil.rmtree(warm_out, ignore_errors=True)
     warm = compact_for_write(
-        extract_pages(pages.limit(2000)), files_per_day=FILES_PER_DAY
+        extract_pages(pages.limit(2000)), files_per_day=FILES_PER_DAY, n_days_hint=4
     )
     warm.write.mode("overwrite").partitionBy("warc_day").parquet(warm_out)
     shutil.rmtree(warm_out, ignore_errors=True)
@@ -124,7 +124,12 @@ def worker(cores: int, corpus: str, out: str) -> None:
     # ~90% busy, and per-group fixed costs outweigh barrier overlap; the
     # day-grouped concurrent variant (run_extraction_by_day) wins only
     # when each group carries enough data to amortize its job overhead
-    extracted = compact_for_write(extract_pages(pages), files_per_day=FILES_PER_DAY)
+    # n_days_hint=4 (the corpus spans 4 warc_days): tasks = 4x combos so
+    # no write task draws multiple (day,bucket) combos — the hash-packing
+    # straggler that otherwise eats the 4N tail (see compact_for_write)
+    extracted = compact_for_write(
+        extract_pages(pages), files_per_day=FILES_PER_DAY, n_days_hint=4
+    )
     extracted.write.mode("overwrite").partitionBy("warc_day").parquet(out)
     wall = time.time() - t0
     print(

@@ -5,12 +5,14 @@ Ship the package alongside the job and run it on a cluster:
     python scripts/build_dist.py          # -> dist/document_ai_spark.zip
     spark-submit --master <cluster> --py-files dist/document_ai_spark.zip \
         scripts/extract_job.py <pages_dir> <out_dir> [n_groups] [salt_partitions] [files_per_day] \
-        [--by-day] [--warc]
+        [--by-day] [--warc] [--markdown]
 
 Flags: --by-day resumes at warc_day-partition granularity with 2-3
 concurrent day jobs (partition-pruned scans; n_groups/salt ignored);
 --warc reads raw .warc/.warc.gz files instead of the Parquet table
-(per-file parallelism; pair with salt_partitions to rebalance).
+(per-file parallelism; pair with salt_partitions to rebalance);
+--markdown emits structure-marked text (heading/list markers) instead of
+plain text — the corpus shape for markdown-structure chunking.
 
 The job is resumable: re-submitting with the same <out_dir> skips bucket
 groups already recorded 'done' in <out_dir>/_checkpoint (exactly-once via
@@ -32,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    unknown = flags - {"--by-day", "--warc"}
+    unknown = flags - {"--by-day", "--warc", "--markdown"}
     if unknown:
         # a misspelled flag must fail loudly, not silently run the wrong
         # resume granularity / input format
@@ -73,6 +75,7 @@ def main() -> None:
             out_dir=out_dir,
             run_dir=os.path.join(out_dir, "_checkpoint"),
             files_per_day=files_per_day,
+            markdown="--markdown" in flags,
         )
     else:
         summary = run_extraction(
@@ -84,6 +87,7 @@ def main() -> None:
             salt_partitions=salt_partitions,
             files_per_day=files_per_day,
             source_format="warc" if "--warc" in flags else "parquet",
+            markdown="--markdown" in flags,
         )
     print(json.dumps(summary))
     spark.stop()

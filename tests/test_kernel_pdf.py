@@ -435,6 +435,44 @@ def test_malformed_cmap_is_isolated():
     assert extract_pdf(payload)[0] == "raw text stays"
 
 
+def test_tm_rotation_rotates_line_advance():
+    # 90-degree rotation: [0 1 -1 0 e f]; Td(0,-14) then advances along
+    # the rotated baseline => x changes, not y. Both lines land at y=400,
+    # x=300 and x=314 (y-advance maps to +x under this rotation), i.e.
+    # they read as ONE region of a single column in layout order.
+    payload = pdf(
+        "BT /F1 12 Tf 0 1 -1 0 300 400 Tm (first rotated) Tj 0 -14 Td (second rotated) Tj ET"
+    )
+    from document_ai_spark.kernel.pdf_extract import _parse_items
+
+    items = _parse_items(
+        b"BT /F1 12 Tf 0 1 -1 0 300 400 Tm (first rotated) Tj 0 -14 Td (second rotated) Tj ET"
+    )
+    assert items == [(300, 400, 12, "first rotated"), (314, 400, 12, "second rotated")]
+    assert extract_pdf(payload)[0] == "first rotated second rotated"
+
+
+def test_tm_scaling_scales_font_size():
+    # [2 0 0 2 ...]: a 9pt Tf under 2x scale shows as 18pt -> markdown h1
+    payload = pdf(
+        "BT /F1 9 Tf 2 0 0 2 72 700 Tm (Scaled Title Line) Tj ET",
+        obj(72, 600, "normal body text paragraph"),
+    )
+    text, spans = extract_pdf(payload, markdown=True)
+    assert text.startswith("# Scaled Title Line")
+    assert "normal body text paragraph" in text
+
+
+def test_tstar_follows_rotated_leading():
+    # T* under rotation advances along the rotated y axis too
+    from document_ai_spark.kernel.pdf_extract import _parse_items
+
+    items = _parse_items(
+        b"BT /F1 12 Tf 14 TL 0 1 -1 0 300 400 Tm (a) Tj T* (b) Tj ET"
+    )
+    assert items == [(300, 400, 12, "a"), (314, 400, 12, "b")]
+
+
 def test_pdf_markdown_heading_levels():
     payload = pdf(
         obj(72, 700, "Document Title Here", 18),

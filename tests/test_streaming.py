@@ -155,6 +155,51 @@ def test_sessionize_stream_out_of_order_batches_absorb_late_events(spark, tmp_pa
     assert r.n_events == 3 and r.sum_value == 7.0
 
 
+def test_sessionize_sharded_equals_single_pass(spark):
+    """The two-pass (user, day)-sharded form must produce session-identical
+    output to the single-pass window form — incl. sessions straddling
+    midnight (cut by the shard boundary, re-joined by the merge pass)."""
+    import datetime as dt
+
+    from document_ai_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_sharded,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 23, 40, 0)  # near midnight on purpose
+    rows = []
+    eid = 0
+
+    def ev(uid, minutes, value):
+        nonlocal eid
+        eid += 1
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", value, "{}")
+
+    # user 1: session straddles midnight (events at 23:40, 23:55, 00:05),
+    # then a gap, then a second session next day
+    rows += [ev(1, 0, 1.5), ev(1, 15, 2.25), ev(1, 25, 4.0), ev(1, 300, 8.0)]
+    # user 2: two sessions entirely within single days
+    rows += [ev(2, -600, 1.0), ev(2, -590, 1.0), ev(2, 120, 3.0)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+    batch = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events, float(r.sum_value))
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    sharded = {
+        (r.user_id, int(r.session_id)): (
+            r.session_start, r.session_end, r.n_events, round(float(r.sum_value_dec), 2)
+        )
+        for r in sessionize_sharded(events, gap_minutes=30).collect()
+    }
+    assert batch == sharded
+    # and the midnight straddler really is ONE session of 3 events
+    u1_first = sharded[(1, 1)]
+    assert u1_first[2] == 3 and u1_first[3] == 7.75
+
+
 def test_sessionize_batch_tolerates_hot_user_skew(spark):
     """One power user holding ~15% of all events (the classic skewed key).
     Per-user sessionization REQUIRES all of a user's events in one task —
