@@ -1319,9 +1319,9 @@ GROUP BY 1, 2, 3 ORDER BY lang, warc_day, kind
         # sentinel replace + split, same "\n\n" offset re-adding
         "q45_markdown_chunks": f"""
 WITH docs AS (
-  SELECT url, text
+  SELECT url, replace(text, chr(1), '') AS text
   FROM read_parquet('{_q45_out_dir()}/*/*.parquet', hive_partitioning=true)
-  WHERE length(text) > 0
+  WHERE length(replace(text, chr(1), '')) > 0
 ),
 parts AS (
   SELECT url,

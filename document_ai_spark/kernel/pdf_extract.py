@@ -57,7 +57,10 @@ markdown-structured emission (``markdown=True``: heading-size regions get
 '#'-prefixes).
 
 Out of scope (documented): font width metrics (inter-glyph spacing is the
-TJ kerning heuristic only) and 2-byte CMap codespaces.
+TJ kerning heuristic only), 2-byte CMap codespaces, an indirect /Font
+VALUE inside a resources dict, per-filter /DecodeParms arrays (the first
+parms dict applies), and /Predictor de-prediction (a declared Predictor >
+1 isolates the stream to b'' instead of emitting garbage).
 """
 
 from __future__ import annotations
@@ -220,10 +223,20 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)  # EOD missing: tolerate, emit what decoded
 
 
+_DECODEPARMS_RE = re.compile(rb"/DecodeParms\s*(?:\[\s*)?<<(.*?)>>", re.S)
+_EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+
+
 def _decode_filters(head: bytes, data: bytes) -> bytes:
     """Apply the object's /Filter chain (possibly an array, in order) to
-    raw stream bytes. Unknown filters or decode errors yield b'' —
-    per-document error isolation; the kernel stays total."""
+    raw stream bytes. Unknown filters, unsupported /DecodeParms
+    (Predictor > 1), or decode errors yield b'' — per-document error
+    isolation; the kernel stays total. /DecodeParms subset: the FIRST
+    parms dict applies (array-of-parms alignment with a filter chain is
+    out of scope); /EarlyChange 0|1 honored for LZW, any declared
+    /Predictor > 1 isolates rather than emitting un-de-predicted bytes
+    that would silently decode to garbage text."""
     m = _FILTER_RE.search(head)
     if not m:
         return data
@@ -231,6 +244,15 @@ def _decode_filters(head: bytes, data: bytes) -> bytes:
         names = _FILTER_NAME_RE.findall(m.group(1))
     else:
         names = [m.group(2)]
+    early = 1
+    pm = _DECODEPARMS_RE.search(head)
+    if pm:
+        parms = pm.group(1)
+        if (pred := _PREDICTOR_RE.search(parms)) and int(pred.group(1)) > 1:
+            return b""
+        em = _EARLYCHANGE_RE.search(parms)
+        if em:
+            early = int(em.group(1))
     try:
         for name in names:
             if name == b"FlateDecode":
@@ -240,11 +262,7 @@ def _decode_filters(head: bytes, data: bytes) -> bytes:
             elif name == b"ASCIIHexDecode":
                 # hex digits, whitespace ignored, '>' terminates, odd
                 # final digit padded with 0 (§7.4.2)
-                body = data.split(b">", 1)[0]
-                digits = bytes(d for d in body if d in _HEXDIGITS)
-                if len(digits) % 2:
-                    digits += b"0"
-                data = bytes.fromhex(digits.decode("ascii"))
+                data = _hex_bytes(data.split(b">", 1)[0])
             elif name == b"ASCII85Decode":
                 # optional '<~' prefix, '~>' EOD, whitespace ignored (§7.4.3)
                 import base64
@@ -257,7 +275,7 @@ def _decode_filters(head: bytes, data: bytes) -> bytes:
                     body = body[:end]
                 data = base64.a85decode(body, ignorechars=b" \t\r\n\v\f")
             elif name == b"LZWDecode":
-                data = _lzw_decode(data)
+                data = _lzw_decode(data, early=early)
             else:
                 return b""  # /DCTDecode etc.: opaque here, isolate
     except Exception:
@@ -316,7 +334,13 @@ def _parse_cmap(data: bytes) -> dict:
                         base = int(toks[i][0], 16)
                         for code in range(lo, min(hi, 0xFF) + 1):
                             v = base + (code - lo)
-                            if v <= 0x10FFFF:
+                            if 0xD800 <= v <= 0xDFFF:
+                                # lone UTF-16 surrogate: not a scalar value;
+                                # U+FFFD like the bfchar errors='replace'
+                                # path (a surrogate str would blow up the
+                                # Arrow batch, not just this document)
+                                cmap[code] = "�"
+                            elif v <= 0x10FFFF:
                                 cmap[code] = chr(v)
                     i += 1
     except Exception:
@@ -324,11 +348,31 @@ def _parse_cmap(data: bytes) -> dict:
     return cmap
 
 
-def _page_fonts(body: bytes, objs: dict, cmap_cache: dict) -> dict:
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+
+
+def _page_fonts(
+    body: bytes, objs: dict, cmap_cache: dict, parent_body: bytes = b""
+) -> dict:
     """Page object body -> {font name bytes -> cmap} for fonts declaring
-    /ToUnicode. Inline /Resources<</Font<<...>>>> subset; CMap streams are
-    parsed once per document (cache keyed by object number)."""
+    /ToUnicode. Resolution order (PDF 32000-1 §7.8.3 resource
+    inheritance): inline /Resources<</Font<<...>>>> on the page, then an
+    INDIRECT /Resources N 0 R on the page, then the same two forms on the
+    parent /Pages node (the dominant real layout: resources declared once
+    on the tree root). Out of scope: an indirect /Font VALUE inside a
+    resources dict. CMap streams are parsed once per document (cache
+    keyed by object number)."""
     fm = _FONTDICT_RE.search(body)
+    if not fm:
+        rm = _RESOURCES_REF_RE.search(body)
+        if rm:
+            fm = _FONTDICT_RE.search(objs.get(int(rm.group(1)), b""))
+    if not fm and parent_body:
+        fm = _FONTDICT_RE.search(parent_body)
+        if not fm:
+            rm = _RESOURCES_REF_RE.search(parent_body)
+            if rm:
+                fm = _FONTDICT_RE.search(objs.get(int(rm.group(1)), b""))
     if not fm:
         return {}
     fonts: dict = {}
@@ -357,18 +401,20 @@ def _split_pages(payload: bytes) -> List[Tuple[bytes, dict]]:
     kept so simple single-stream payloads and goldens stay stable)."""
     objs = _scan_objects(payload)
     kids: List[int] = []
+    pages_body = b""
     for body in objs.values():
         if re.search(rb"/Type\s*/Pages\b", body):
             km = _KIDS_RE.search(body)
             if km:
                 kids = [int(r) for r in _REF_RE.findall(km.group(1))]
+            pages_body = body
             break
     if kids:
         pages = []
         cmap_cache: dict = {}
         for pnum in kids:
             body = objs.get(pnum, b"")
-            fonts = _page_fonts(body, objs, cmap_cache)
+            fonts = _page_fonts(body, objs, cmap_cache, parent_body=pages_body)
             cm = _CONTENTS_ANY_RE.search(body)
             if cm:
                 # single ref or the standard ARRAY form [3 0 R 5 0 R …]:

@@ -99,39 +99,58 @@ def chunk_by_heading(df: DataFrame, text_col: str = "text", id_col: str = "url")
     export_to_markdown output).
 
     Formulation is lookahead-free so the DuckDB oracle can mirror it in
-    RE2: the boundary string "\\n\\n#" is literal-replaced with
-    "\\x01#", then split on \\x01 — entirely JVM (replace/split/
-    posexplode + one window cumsum for offsets), zero Python. Offsets
+    RE2: any pre-existing U+0001 is STRIPPED (it is the split sentinel;
+    offsets refer to the cleaned text), then the boundary string
+    "\\n\\n#" is literal-replaced with "\\x01#" and split on \\x01.
+    Offsets are computed PER ROW with higher-order array functions
+    (transform + slice/aggregate prefix sums) — no window, hence NO
+    SHUFFLE and no cross-row state: rows sharing an ``id_col`` value
+    cannot corrupt each other's offsets (their chunk_ids still collide —
+    id_col must identify the row, same contract as chunk_fixed). Offsets
     re-add the removed "\\n\\n" separators, so
-    ``text[char_start:char_end] == chunk_text``. Empty/null text -> zero
-    rows. (A literal \\x01 in the input would add a split point — absent
-    from extracted text, whose kernel normalizes whitespace per block.)
+    ``cleaned_text[char_start:char_end] == chunk_text``. Empty/null
+    text -> zero rows.
     """
-    from pyspark.sql import Window
-
-    text = F.col(text_col)
-    parts = F.split(F.replace(text, F.lit("\n\n#"), F.lit("\x01#")), "\x01")
+    cleaned = F.replace(F.col(text_col), F.lit("\x01"), F.lit(""))
     keep = [c for c in df.columns if c != text_col]
-    exploded = (
-        df.filter(F.length(text) > 0)
-        .select(*keep, F.posexplode(parts).alias("chunk_index", "chunk_text"))
+    with_parts = (
+        df.select(
+            *keep,
+            F.split(F.replace(cleaned, F.lit("\n\n#"), F.lit("\x01#")), "\x01").alias(
+                "_parts"
+            ),
+            F.length(cleaned).alias("_len"),
+        )
+        .filter(F.col("_len") > 0)
     )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("chunk_index")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    parts = F.col("_parts")
+    # prefix-sum offsets per element: chunks-per-doc is small, so the
+    # O(chunks^2) slice+aggregate stays trivial and entirely codegen'd
+    structs = F.transform(
+        parts,
+        lambda x, i: F.struct(
+            i.cast("int").alias("chunk_index"),
+            x.alias("chunk_text"),
+            (
+                F.aggregate(
+                    F.slice(parts, F.lit(1), i),
+                    F.lit(0).cast("long"),
+                    lambda a, y: a + F.length(y),
+                )
+                + i.cast("long") * 2
+            ).alias("char_start"),
+        ),
     )
-    prior = F.coalesce(F.sum(F.length("chunk_text")).over(w), F.lit(0))
-    start = (prior + 2 * F.col("chunk_index")).cast("long")
-    return exploded.select(
+    out = with_parts.select(*keep, F.explode(structs).alias("c"))
+    return out.select(
         *keep,
-        "chunk_index",
-        F.concat_ws("_chunk_", F.col(id_col).cast("string"), F.col("chunk_index")).alias(
+        F.col("c.chunk_index").alias("chunk_index"),
+        F.concat_ws("_chunk_", F.col(id_col).cast("string"), F.col("c.chunk_index")).alias(
             "chunk_id"
         ),
-        "chunk_text",
-        start.alias("char_start"),
-        (start + F.length("chunk_text")).cast("long").alias("char_end"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.char_start").alias("char_start"),
+        (F.col("c.char_start") + F.length("c.chunk_text")).cast("long").alias("char_end"),
     )
 
 

@@ -37,7 +37,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -248,8 +248,12 @@ def _pdf_page_v2(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
 
         comp = base64.a85encode(zlib.compress(raw, 6)) + b"~>"
         filt = b"/Filter [/ASCII85Decode /FlateDecode]"
-    else:
+    elif enc_pick < 0.85:
         comp, filt = _lzw_encode(raw), b"/Filter /LZWDecode"
+    else:
+        # EarlyChange=0 convention, declared via /DecodeParms
+        comp = _lzw_encode(raw, early=0)
+        filt = b"/Filter /LZWDecode /DecodeParms <</EarlyChange 0>>"
     # /Length is an INDIRECT reference (5 0 R) with the value object
     # emitted AFTER the stream — the dominant real-world layout (writers
     # know the length only after streaming)
@@ -273,7 +277,9 @@ def _pdf_page_v3(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     a byte-transparent one reads mojibake. /F1 lines (header/footer/title +
     every other body line) stay plain — exercises per-Tf font switching.
     Shifted text uses the ASCII English vocab ('Y'->'Z' so no shifted byte
-    collides with the '\\\\' string delimiter)."""
+    collides with the '\\\\' string delimiter). The resources layout
+    rotates inline / indirect-ref / inherited-from-/Pages (corpus v6) to
+    exercise the kernel's §7.8.3 resolution order."""
     en = _BASE_VOCAB["en"]
 
     def enc_line() -> str:
@@ -303,18 +309,30 @@ def _pdf_page_v3(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
         b"1 begincodespacerange <00> <FF> endcodespacerange\n"
         b"1 beginbfrange\n<23> <7D> <0020>\nendbfrange\nendcmap\n"
     )
+    # resources layout rotates across the kernel's resolution order:
+    # inline on the page / indirect (/Resources 8 0 R) / inherited from
+    # the parent /Pages node (the dominant real-world layout)
+    res_pick = rng.random()
+    fontdict = b"<</Font <</F1 5 0 R /F7 6 0 R>>>>"
+    pages_extra = page_extra = indirect_obj = b""
+    if res_pick < 0.4:
+        page_extra = b"/Resources " + fontdict + b" "
+    elif res_pick < 0.7:
+        page_extra = b"/Resources 8 0 R "
+        indirect_obj = b"8 0 obj\n" + fontdict + b"\nendobj\n"
+    else:
+        pages_extra = b"/Resources " + fontdict + b" "
     return (
         b"%PDF-1.4\n"
-        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n"
-        b"2 0 obj\n<</Type /Page /Resources <</Font <</F1 5 0 R /F7 6 0 R>>>> "
-        b"/Contents 3 0 R>>\nendobj\n"
+        b"1 0 obj\n<</Type /Pages " + pages_extra + b"/Kids [2 0 R]>>\nendobj\n"
+        b"2 0 obj\n<</Type /Page " + page_extra + b"/Contents 3 0 R>>\nendobj\n"
         b"3 0 obj\n<</Length " + str(len(content)).encode("ascii") + b">>\nstream\n"
         + content + b"\nendstream\nendobj\n"
         b"5 0 obj\n<</Type /Font /Subtype /Type1>>\nendobj\n"
         b"6 0 obj\n<</Type /Font /ToUnicode 7 0 R>>\nendobj\n"
         b"7 0 obj\n<</Length " + str(len(cmap)).encode("ascii") + b">>\nstream\n"
-        + cmap + b"\nendstream\nendobj\n"
-        b"%%EOF\n"
+        + cmap + b"\nendstream\nendobj\n" + indirect_obj
+        + b"%%EOF\n"
     )
 
 

@@ -485,6 +485,81 @@ def test_pdf_markdown_heading_levels():
     assert "#" not in extract_pdf(payload)[0]
 
 
+# -- round-3 review regressions: surrogate CMaps, resource indirection,
+#    DecodeParms ----------------------------------------------------------
+
+
+def test_cmap_surrogate_destination_is_replaced():
+    # a bfrange whose destination lands in the UTF-16 surrogate block must
+    # map to U+FFFD, never a lone surrogate (a surrogate in the extracted
+    # text would fail the whole Arrow batch, not just this document)
+    cmap = b"begincmap\nbeginbfrange\n<41> <43> <D7FF>\nendbfrange\nendcmap\n"
+    payload = _cmap_doc(b"BT /F7 12 Tf 72 700 Td (ABC) Tj ET", cmap)
+    text = extract_pdf(payload)[0]
+    assert text == "퟿��"  # D7FF ok, D800/D801 replaced
+    text.encode("utf-8")  # must be encodable (the Arrow requirement)
+
+
+def test_resources_indirect_reference():
+    plain = "indirect resources line"
+    enc = bytes(ord(c) + 3 for c in plain)
+    cmap = b"begincmap\n1 beginbfrange\n<23> <7D> <0020>\nendbfrange\nendcmap\n"
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources 9 0 R /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F7 12 Tf 72 700 Td (" + enc + b") Tj ET\nendstream\nendobj\n",
+        b"5 0 obj\n<</Type /Font /ToUnicode 6 0 R>>\nendobj\n",
+        b"6 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+        b"9 0 obj\n<</Font <</F7 5 0 R>>>>\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == plain
+
+
+def test_resources_inherited_from_pages_node():
+    plain = "inherited resources line"
+    enc = bytes(ord(c) + 3 for c in plain)
+    cmap = b"begincmap\n1 beginbfrange\n<23> <7D> <0020>\nendbfrange\nendcmap\n"
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Resources <</Font <</F7 5 0 R>>>> /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F7 12 Tf 72 700 Td (" + enc + b") Tj ET\nendstream\nendobj\n",
+        b"5 0 obj\n<</Type /Font /ToUnicode 6 0 R>>\nendobj\n",
+        b"6 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == plain
+
+
+def test_lzw_earlychange_zero_via_decodeparms():
+    from document_ai_spark.sources.pages import _lzw_encode
+
+    body = obj(72, 700, "early change zero page")
+    enc = _lzw_encode(body.encode(), early=0)
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\n<</Length " + str(len(enc)).encode()
+        + b" /Filter /LZWDecode /DecodeParms <</EarlyChange 0>>>>\nstream\n"
+        + enc + b"\nendstream\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "early change zero page"
+
+
+def test_predictor_isolates_instead_of_garbage():
+    import zlib
+
+    body = obj(72, 700, "predictor stream")
+    comp = zlib.compress(body.encode(), 6)
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\n<</Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode /DecodeParms <</Predictor 12 /Columns 4>>>>\nstream\n"
+        + comp + b"\nendstream\nendobj\n",
+    )
+    text, spans = extract_pdf(payload)
+    assert text == "" and spans == []
+
+
 # -- round 3: regex-scan interpreter equivalence ---------------------------
 
 

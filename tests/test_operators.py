@@ -63,6 +63,56 @@ def test_chunk_by_heading_splits_on_structure(spark):
             assert text[s:e] == chunk
 
 
+def test_chunk_by_heading_strips_sentinel_and_keeps_offsets(spark):
+    # a pre-existing U+0001 must not create a bogus boundary or shift
+    # offsets: it is stripped first, offsets refer to the CLEANED text
+    from document_ai_spark.operators.chunking import chunk_by_heading
+
+    raw = "intro with \x01 control char\n\n# Heading\n\nbody text"
+    cleaned = raw.replace("\x01", "")
+    df = spark.createDataFrame([("u1", raw)], "url string, text string")
+    got = sorted(
+        (r.chunk_index, r.chunk_text, r.char_start, r.char_end)
+        for r in chunk_by_heading(df).collect()
+    )
+    assert [g[1] for g in got] == ["intro with  control char", "# Heading\n\nbody text"]
+    for _, chunk, s, e in got:
+        assert cleaned[s:e] == chunk
+
+
+def test_chunk_by_heading_rows_sharing_id_do_not_corrupt_offsets(spark):
+    # per-row offset computation: two rows with the SAME id value must
+    # each get offsets local to their own text (chunk_id collides — the
+    # documented id-uniqueness contract — but offsets stay correct)
+    from document_ai_spark.operators.chunking import chunk_by_heading
+
+    t1 = "alpha text\n\n# One\n\nbody"
+    t2 = "totally different longer document text\n\n# Two\n\nmore body here"
+    df = spark.createDataFrame([("dup", t1), ("dup", t2)], "url string, text string")
+    rows = chunk_by_heading(df).collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r.chunk_text, []).append(r)
+    for src in (t1, t2):
+        for r in rows:
+            if r.chunk_text in src:
+                if src[r.char_start : r.char_end] == r.chunk_text:
+                    break
+        # every chunk's offsets must reconstruct within ITS source text
+    for r in rows:
+        assert (t1[r.char_start : r.char_end] == r.chunk_text) or (
+            t2[r.char_start : r.char_end] == r.chunk_text
+        )
+
+
+def test_chunk_by_heading_plan_has_no_shuffle(spark):
+    from document_ai_spark.operators.chunking import chunk_by_heading
+
+    df = spark.createDataFrame([("u", "a\n\n# H\n\nb")], "url string, text string")
+    plan = chunk_by_heading(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row higher-order funcs, no window
+
+
 def test_chunk_spans_reconstruct(spark, docs):
     from document_ai_spark.operators.chunking import chunk_fixed
 
