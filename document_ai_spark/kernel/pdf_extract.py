@@ -49,18 +49,20 @@ hex strings ``<48656C6C6F>``
 (decoded per spec: whitespace ignored, odd final digit padded with 0).
 
 Also handled (round 3): ordered ``/Filter`` CHAINS (arrays applied in
-sequence), ``/LZWDecode``, 1-byte-codespace ``/ToUnicode`` CMaps (bfchar +
-bfrange, UTF-16BE destinations) selected per ``Tf`` font, the FULL ``Tm``
-matrix (rotation/scaling: line advance composes in text space, item
-position is the matrix translation, item size scales by hypot(b, d)), and
-markdown-structured emission (``markdown=True``: heading-size regions get
-'#'-prefixes).
+sequence), ``/LZWDecode`` (incl. /DecodeParms EarlyChange), ``/ToUnicode``
+CMaps in 1-byte AND 2-byte (CID-style) codespaces (bfchar + bfrange,
+UTF-16BE destinations) selected per ``Tf`` font with §7.8.3 resource
+inheritance, the FULL ``Tm`` matrix (rotation/scaling: line advance
+composes in text space, item position is the matrix translation, item
+size scales by hypot(b, d)), and markdown-structured emission
+(``markdown=True``: heading-size regions get '#'-prefixes).
 
 Out of scope (documented): font width metrics (inter-glyph spacing is the
-TJ kerning heuristic only), 2-byte CMap codespaces, an indirect /Font
-VALUE inside a resources dict, per-filter /DecodeParms arrays (the first
-parms dict applies), and /Predictor de-prediction (a declared Predictor >
-1 isolates the stream to b'' instead of emitting garbage).
+TJ kerning heuristic only), mixed-width codespaces in one CMap, an
+indirect /Font VALUE inside a resources dict, per-filter /DecodeParms
+arrays (the first parms dict applies), and /Predictor de-prediction (a
+declared Predictor > 1 isolates the stream to b'' instead of emitting
+garbage).
 """
 
 from __future__ import annotations
@@ -291,7 +293,9 @@ _FONT_PAIR_RE = re.compile(rb"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
 _CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+_CMAP_MAX_ENTRIES = 1 << 17  # adversarial-range budget (65k x2 is plenty)
 
 
 def _utf16be_hex_to_str(h: bytes) -> str:
@@ -300,15 +304,27 @@ def _utf16be_hex_to_str(h: bytes) -> str:
     return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", errors="replace")
 
 
-def _parse_cmap(data: bytes) -> dict:
-    """CMap stream bytes -> {source byte -> unicode str}. Total: a
-    malformed CMap yields {} (the font then stays byte-transparent)."""
+def _parse_cmap(data: bytes) -> tuple:
+    """CMap stream bytes -> (code width in bytes, {source code -> unicode
+    str}). Width comes from the codespacerange (2 hex digits per token =
+    1-byte codes, 4 = 2-byte CID-style codes; default 1). Total: a
+    malformed CMap yields (1, {}) — the font then stays byte-transparent.
+    Range expansion is budget-capped so an adversarial <0000> <FFFF>
+    blanket cannot balloon memory."""
     cmap: dict = {}
+    width = 1
     try:
+        cs = _CODESPACE_RE.search(data)
+        if cs:
+            hexes = [t[0] for t in _CMAP_TOK_RE.findall(cs.group(1)) if t[0]]
+            if hexes and len(hexes[0]) > 2:
+                width = 2
+        max_code = (1 << (8 * width)) - 1
+        max_hex = 2 * width
         for m in _BFCHAR_RE.finditer(data):
             hexes = [t[0] for t in _CMAP_TOK_RE.findall(m.group(1)) if t[0]]
             for src, dst in zip(hexes[0::2], hexes[1::2]):
-                if len(src) <= 2:  # 1-byte codespace subset
+                if len(src) <= max_hex:
                     cmap[int(src, 16)] = _utf16be_hex_to_str(dst)
         for m in _BFRANGE_RE.finditer(data):
             toks = _CMAP_TOK_RE.findall(m.group(1))
@@ -318,21 +334,24 @@ def _parse_cmap(data: bytes) -> dict:
                     i += 1  # malformed entry: resync on next hex token
                     continue
                 lo, hi = int(toks[i][0], 16), int(toks[i + 1][0], 16)
-                one_byte = len(toks[i][0]) <= 2
+                in_width = len(toks[i][0]) <= max_hex
                 i += 2
                 if i < n and toks[i][1]:  # [ <d0> <d1> ... ] array form
                     i += 1
                     code = lo
                     while i < n and not toks[i][2]:
-                        if toks[i][0] and one_byte and code <= hi:
+                        if toks[i][0] and in_width and code <= hi:
                             cmap[code] = _utf16be_hex_to_str(toks[i][0])
                         code += 1
                         i += 1
                     i += 1  # the ']'
                 elif i < n and toks[i][0]:  # contiguous: dst_start + offset
-                    if one_byte:
+                    if in_width:
                         base = int(toks[i][0], 16)
-                        for code in range(lo, min(hi, 0xFF) + 1):
+                        hi_c = min(hi, max_code, lo + _CMAP_MAX_ENTRIES)
+                        for code in range(lo, hi_c + 1):
+                            if len(cmap) > _CMAP_MAX_ENTRIES:
+                                break
                             v = base + (code - lo)
                             if 0xD800 <= v <= 0xDFFF:
                                 # lone UTF-16 surrogate: not a scalar value;
@@ -344,8 +363,8 @@ def _parse_cmap(data: bytes) -> dict:
                                 cmap[code] = chr(v)
                     i += 1
     except Exception:
-        return {}
-    return cmap
+        return (1, {})
+    return (width, cmap)
 
 
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
@@ -386,7 +405,7 @@ def _page_fonts(
         cnum = int(tm.group(1))
         if cnum not in cmap_cache:
             cmap_cache[cnum] = _parse_cmap(_stream_bytes(objs.get(cnum, b""), objs))
-        if cmap_cache[cnum]:
+        if cmap_cache[cnum][1]:  # (width, map): empty map = stay transparent
             fonts[name] = cmap_cache[cnum]
     return fonts
 
@@ -596,18 +615,34 @@ def _hex_bytes(content: bytes) -> bytes:
         return b""
 
 
-# unmapped code under an active ToUnicode CMap: ASCII passes through (real
-# CMaps routinely cover only the non-ASCII range), other bytes are U+FFFD
+# unmapped code under an active 1-byte ToUnicode CMap: ASCII passes through
+# (real CMaps routinely cover only the non-ASCII range), other bytes are
+# U+FFFD; under a 2-byte (CID-style) codespace there is no byte-transparent
+# reading, so unmapped codes are always U+FFFD
 _CMAP_FALLBACK = [chr(b) if b < 128 else "�" for b in range(256)]
 
 
-def _shown_text(raw: bytes, cmap: dict | None) -> str:
+def _shown_text(raw: bytes, cmap: tuple | None) -> str:
     """Raw shown-string bytes -> text through the active font's ToUnicode
-    CMap, or utf-8 (errors=replace) when the font has none."""
+    CMap — ``cmap`` is (code width in bytes, {code int -> str}) — or
+    utf-8 (errors=replace) when the font has none. Width 2 consumes the
+    string two bytes per code (big-endian, the CID convention); an odd
+    trailing byte is U+FFFD."""
     if cmap is None:
         return raw.decode("utf-8", errors="replace")
-    fb = _CMAP_FALLBACK
-    return "".join([cmap.get(b, fb[b]) for b in raw])
+    width, m = cmap
+    if width == 1:
+        fb = _CMAP_FALLBACK
+        return "".join([m.get(b, fb[b]) for b in raw])
+    out: List[str] = []
+    i = 0
+    last = len(raw) - 1
+    while i < last:
+        out.append(m.get((raw[i] << 8) | raw[i + 1], "�"))
+        i += 2
+    if i <= last:
+        out.append("�")
+    return "".join(out)
 
 
 def _parse_items(
@@ -619,11 +654,11 @@ def _parse_items(
     on the matched group index. Semantics are pinned to
     ``_parse_items_reference`` by a fuzz-equivalence test.
 
-    ``fonts``: optional {font name bytes -> ToUnicode cmap dict} from the
-    page's /Resources. When the font selected by Tf has a cmap, shown
-    string BYTES are decoded through it (byte-coded fonts extract real
-    text instead of mojibake); otherwise utf-8 (errors=replace), which is
-    exactly the reference path's behavior.
+    ``fonts``: optional {font name bytes -> (code width, cmap dict)} from
+    the page's /Resources. When the font selected by Tf has a cmap, shown
+    string BYTES are decoded through it (byte- or 2-byte-coded fonts
+    extract real text instead of mojibake); otherwise utf-8
+    (errors=replace), which is exactly the reference path's behavior.
 
     The FULL text-line matrix [a b c d e f] is tracked (not just e,f):
     Tm sets it, Td/TD/T*/' compose a translation IN TEXT SPACE (so line

@@ -37,7 +37,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -281,9 +281,16 @@ def _pdf_page_v3(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     rotates inline / indirect-ref / inherited-from-/Pages (corpus v6) to
     exercise the kernel's §7.8.3 resolution order."""
     en = _BASE_VOCAB["en"]
+    # half the v3 docs use a 2-byte (CID-style) codespace: each char is
+    # encoded as the pair (0x01, char+3), mapped back by a <0000>-<FFFF>
+    # codespace bfrange; the other half keep the 1-byte form
+    two_byte = rng.random() < 0.5
+    enc_font = "F8" if two_byte else "F7"
 
     def enc_line() -> str:
         t = _sentence(rng, en, rng.randint(4, 9)).replace("Y", "Z")
+        if two_byte:
+            return "".join("\x01" + chr(ord(c) + 3) for c in t)
         return "".join(chr(ord(c) + 3) for c in t)
 
     def plain_line() -> str:
@@ -297,23 +304,30 @@ def _pdf_page_v3(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     y = 700
     for k in range(max(4, n_lines)):
         if k % 2 == 0:
-            body.append(f"BT /F7 12 Tf 72 {y} Td ({enc_line()}) Tj ET")
+            body.append(f"BT /{enc_font} 12 Tf 72 {y} Td ({enc_line()}) Tj ET")
         else:
             body.append(f"BT /F1 12 Tf 72 {y} Td ({plain_line()}) Tj ET")
         y -= 40 if rng.random() < 0.2 else 14
         if y <= 60:
             break
     content = "\n".join(body).encode("utf-8")
-    cmap = (
-        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
-        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
-        b"1 beginbfrange\n<23> <7D> <0020>\nendbfrange\nendcmap\n"
-    )
+    if two_byte:
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange\n<0123> <017D> <0020>\nendbfrange\nendcmap\n"
+        )
+    else:
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"1 beginbfrange\n<23> <7D> <0020>\nendbfrange\nendcmap\n"
+        )
     # resources layout rotates across the kernel's resolution order:
     # inline on the page / indirect (/Resources 8 0 R) / inherited from
     # the parent /Pages node (the dominant real-world layout)
     res_pick = rng.random()
-    fontdict = b"<</Font <</F1 5 0 R /F7 6 0 R>>>>"
+    fontdict = b"<</Font <</F1 5 0 R /" + enc_font.encode("ascii") + b" 6 0 R>>>>"
     pages_extra = page_extra = indirect_obj = b""
     if res_pick < 0.4:
         page_extra = b"/Resources " + fontdict + b" "

@@ -529,6 +529,29 @@ def test_resources_inherited_from_pages_node():
     assert extract_pdf(payload)[0] == plain
 
 
+def test_tounicode_two_byte_codespace():
+    # CID-style 2-byte codes: each char encoded as the pair (0x01, c+3),
+    # codespace <0000>-<FFFF>, bfrange maps 0x0123-0x017D back to ASCII
+    plain = "Two byte coded text"
+    enc = b"".join(bytes((1, ord(c) + 3)) for c in plain)
+    cmap = (
+        b"begincmap\n1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange\n<0123> <017D> <0020>\nendbfrange\nendcmap\n"
+    )
+    payload = _cmap_doc(b"BT /F7 12 Tf 72 700 Td (" + enc + b") Tj ET", cmap)
+    assert extract_pdf(payload)[0] == plain
+
+
+def test_tounicode_two_byte_odd_tail_and_unmapped():
+    cmap = (
+        b"begincmap\n1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"beginbfchar\n<0141> <0058>\nendbfchar\nendcmap\n"
+    )
+    # mapped pair, unmapped pair, odd trailing byte
+    payload = _cmap_doc(b"BT /F7 12 Tf 72 700 Td (\x01A\x02B\x03) Tj ET", cmap)
+    assert extract_pdf(payload)[0] == "X��"
+
+
 def test_lzw_earlychange_zero_via_decodeparms():
     from document_ai_spark.sources.pages import _lzw_encode
 
