@@ -809,6 +809,22 @@ def q41_ann_exact_at_full_probe(spark, sf_dir):
     return lsh_bucketed_topk(e, qv, k=7, n_planes=16, prefix_bits=4, multi_probe=4)
 
 
+def q47_ivf_ann_exact_at_full_probe(spark, sf_dir):
+    """IVF ANN (learned-centroid inverted file — the last SURVEY §9
+    deferral, now closed): k-means centroids trained DETERMINISTICALLY
+    (lowest-id init + exact DECIMAL Lloyd means, so any partitioning
+    yields identical centroids), vectors assigned JVM-side, and the probe
+    dial pinned exactly like q41: probing ALL clusters must return the
+    brute-force cosine top-7 verbatim (oracle = q06's SQL). Production
+    uses nprobe << n_clusters with ivf_cluster as a partition column."""
+    from document_ai_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in e.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    cents = train_ivf_centroids(e, k=8, iters=2, sample_limit=2048)
+    return ivf_topk(e, qv, cents, k=7, nprobe=len(cents))
+
+
 def q42_sessionize_stream(spark, sf_dir):
     """The custom STATEFUL streaming operator itself under the driver's
     gate: a real applyInPandasWithState run (availableNow, memory sink)
@@ -942,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_incremental_extract": q44_incremental_extract,
         "q45_markdown_chunks": q45_markdown_chunks,
         "q46_sessionize_sharded": q46_sessionize_sharded,
+        "q47_ivf_ann_exact_at_full_probe": q47_ivf_ann_exact_at_full_probe,
     }
 
 
@@ -1679,6 +1696,14 @@ GROUP BY 1, 2, 3 ORDER BY lang, warc_day, kind
 """,
         # full-probe LSH must equal brute force: the oracle is q06's SQL
         "q41_ann_exact_at_full_probe": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_cosine('e.embedding', 'q.qv')}, 4) AS score
+FROM embeddings e, q
+ORDER BY score DESC, e.vec_id ASC LIMIT 7
+""",
+        # IVF at full probe == brute force (the q41 contract for the
+        # learned-centroid path; the oracle is the same exact top-7 SQL)
+        "q47_ivf_ann_exact_at_full_probe": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({_cosine('e.embedding', 'q.qv')}, 4) AS score
 FROM embeddings e, q

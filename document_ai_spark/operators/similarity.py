@@ -137,6 +137,110 @@ def lsh_bucketed_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN with deterministic centroid training
+
+
+def _centroid_lits(centroids: list) -> list:
+    return [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+
+
+def assign_cluster(
+    df: DataFrame, centroids: list, vec_col: str = "embedding", out_col: str = "ivf_cluster"
+) -> DataFrame:
+    """Nearest-centroid id per row (max cosine; ties -> lowest id) as a
+    pure JVM expression: array_max over (score, -idx) structs — no UDF,
+    no shuffle, and a pure function of the row so the assignment is
+    independent of physical partitioning."""
+    vec = F.col(vec_col).cast("array<double>")
+    scored = [
+        F.struct(cosine_sim(vec, cl).alias("s"), F.lit(-i).alias("negidx"))
+        for i, cl in enumerate(_centroid_lits(centroids))
+    ]
+    best = F.array_max(F.array(*scored))
+    return df.withColumn(out_col, (-best["negidx"]).cast("int"))
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_limit: int = 4096,
+) -> list:
+    """DETERMINISTIC k-means for IVF coarse quantization — closes SURVEY
+    §9's objection (reference analog: ChromaDB's HNSW index build,
+    main.py:60, which is approximate and unordered; here determinism is a
+    hard requirement so byte-identity survives re-partitioning):
+
+      * train set + init = the ``sample_limit`` / ``k`` LOWEST-ID vectors
+        (stable under any partitioning — no RDD sampling),
+      * Lloyd updates compute per-dimension means with EXACT DECIMAL(30,12)
+        sums — decimal addition is associative, so shuffle/combine order
+        cannot change a centroid by even an ulp (float sums, the usual
+        nondeterminism objection to distributed k-means, never occur),
+      * an empty cluster keeps its previous centroid.
+
+    Returns k x dim Python lists (small; ship via broadcast/literals).
+    """
+    base = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .cache()
+    )
+    centroids = [list(r["_v"]) for r in base.orderBy(id_col).limit(k).collect()]
+    dim = len(centroids[0]) if centroids else 0
+    for _ in range(iters):
+        assigned = assign_cluster(base, centroids, vec_col="_v", out_col="_c")
+        sums = (
+            assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_c", "_d")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(30,12)")).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .collect()  # k x dim rows — tiny
+        )
+        percluster: dict = {}
+        for r in sums:
+            percluster.setdefault(r["_c"], {})[r["_d"]] = (r["_s"], r["_n"])
+        centroids = [
+            [float(dims[d][0]) / dims[d][1] for d in range(dim)]
+            if (dims := percluster.get(c)) is not None
+            else centroids[c]
+            for c in range(len(centroids))
+        ]
+    base.unpersist()
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list, centroids: list, k: int = 7, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` centroids nearest the query and
+    exact-score only their members; nprobe == len(centroids) is exact
+    (the recall dial q47 pins, same contract as the LSH path's q41). At
+    10^12 rows ``ivf_cluster`` is a partition/bucket column written at
+    index-build time, so probing prunes at the file-scan level and the
+    per-query cost is ~nprobe/k of the corpus."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    ranked = []
+    for i, c in enumerate(centroids):
+        ca = np.asarray(c, dtype=np.float64)
+        cn = np.linalg.norm(ca)
+        s = float(ca @ q / (cn * qn)) if cn > 0 and qn > 0 else 0.0
+        ranked.append((-s, i))
+    probe = [i for _, i in sorted(ranked)[:nprobe]]
+    cand = assign_cluster(emb, centroids, vec_col=vec_col).filter(
+        F.col("ivf_cluster").isin(probe)
+    )
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def batch_topk_grouped(
     emb: DataFrame, queries: DataFrame, k: int = 7,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -195,6 +195,49 @@ def test_lsh_topk_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def test_ivf_centroids_deterministic_across_partitionings(spark, emb):
+    """The SURVEY §9 objection, answered: exact DECIMAL Lloyd means =>
+    bit-identical centroids regardless of how the train set is split."""
+    from document_ai_spark.operators.similarity import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb.repartition(1), k=6, iters=2, sample_limit=512)
+    c2 = train_ivf_centroids(emb.repartition(13), k=6, iters=2, sample_limit=512)
+    assert c1 == c2  # exact float equality, not approx
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    from document_ai_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 1).select(F.explode("embedding")).collect()]
+    cents = train_ivf_centroids(emb, k=6, iters=2, sample_limit=512)
+    exact = [(r["vec_id"], r["score"]) for r in brute_force_topk(emb, qv, k=10).collect()]
+    full = [(r["vec_id"], r["score"]) for r in ivf_topk(emb, qv, cents, k=10, nprobe=6).collect()]
+    assert exact == full
+
+
+def test_ivf_pruned_probe_finds_query_and_subsets_corpus(spark, emb):
+    from document_ai_spark.operators.similarity import (
+        assign_cluster,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 1).select(F.explode("embedding")).collect()]
+    cents = train_ivf_centroids(emb, k=6, iters=2, sample_limit=512)
+    got = [r["vec_id"] for r in ivf_topk(emb, qv, cents, k=10, nprobe=1).collect()]
+    assert 1 in got  # the query's own vector lives in the probed cluster
+    # nprobe=1 scans only one cluster's members
+    sizes = {
+        r["ivf_cluster"]: r["count"]
+        for r in assign_cluster(emb, cents).groupBy("ivf_cluster").count().collect()
+    }
+    assert max(sizes.values()) < emb.count()  # clustering is non-degenerate
+
+
 def test_batch_topk_per_query(spark, emb):
     from document_ai_spark.operators.similarity import batch_topk
 
