@@ -285,9 +285,11 @@ def _decode_filters(head: bytes, data: bytes) -> bytes:
     return data
 
 
-# ToUnicode CMap subset (PDF 32000-1 §9.10.3): 1-byte source codes,
+# ToUnicode CMap subset (PDF 32000-1 §9.10.3): 1-byte or 2-byte
+# (CID-style) source codespaces — the codespacerange sets the width —
 # bfchar pairs and bfrange triples (contiguous or array form), UTF-16BE
-# destinations. Fonts without /ToUnicode keep the byte-transparent path.
+# destinations. A parsed cmap travels as (width, {code -> str}); fonts
+# without /ToUnicode keep the byte-transparent path.
 _FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_PAIR_RE = re.compile(rb"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
@@ -677,8 +679,8 @@ def _parse_items(
     strs: List[bytes] = []       # string operand stack, RAW bytes (Tj / ')
     arr: List[object] | None = None  # TJ array being collected
     have_fonts = bool(fonts)
-    last_name = b""              # most recent /Name operand (Tf font arg)
-    cur_map: dict | None = None  # active font's ToUnicode cmap
+    last_name = b""               # most recent /Name operand (Tf font arg)
+    cur_map: tuple | None = None  # active font's (width, cmap) or None
 
     items_append = items.append
     n = len(stream)

@@ -162,7 +162,12 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
             w = wb
             continue
         emit(table[w])
-        if next_code + early - 1 >= 4096:  # table full: clear + reset
+        # table full: clear + reset. The cap is next_code >= 4096 for BOTH
+        # EarlyChange conventions — the max assignable code is 4095 (12-bit
+        # slot) regardless of when the WIDTH bumps; tying this to `early`
+        # let early=0 assign entry 4096 and later emit it as a truncated
+        # 13-bit code (silent round-trip corruption, review-caught)
+        if next_code >= 4096:
             emit(256)
             table = fresh()
             next_code = 258

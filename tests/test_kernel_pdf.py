@@ -319,9 +319,15 @@ def test_lzw_roundtrip_fuzz():
         n = rng.randrange(0, 20000)
         data = bytes(rng.randrange(4) * 60 + rng.randrange(60) for _ in range(n))
         assert _lzw_decode(_lzw_encode(data)) == data
-    # incompressible data fills the 12-bit table -> exercises clear+reset
-    data = bytes(rng.randrange(256) for _ in range(40000))
-    assert _lzw_decode(_lzw_encode(data)) == data
+    # incompressible data fills the 12-bit table -> exercises clear+reset,
+    # at BOTH EarlyChange conventions (the encoder's table-full cap must be
+    # next_code >= 4096 independent of `early` — review regression)
+    for early in (0, 1):
+        data = bytes(rng.randrange(256) for _ in range(40000))
+        assert _lzw_decode(_lzw_encode(data, early=early), early=early) == data
+        filler = bytes((i * 7 + j) % 251 for i in range(70) for j in range(70))
+        data = filler + bytes((5, 5, 5, 200)) * 200 + filler
+        assert _lzw_decode(_lzw_encode(data, early=early), early=early) == data
     # truncated / garbage LZW never hangs, raises only ValueError
     for _ in range(100):
         junk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))

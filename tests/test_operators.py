@@ -90,19 +90,12 @@ def test_chunk_by_heading_rows_sharing_id_do_not_corrupt_offsets(spark):
     t2 = "totally different longer document text\n\n# Two\n\nmore body here"
     df = spark.createDataFrame([("dup", t1), ("dup", t2)], "url string, text string")
     rows = chunk_by_heading(df).collect()
-    by_text = {}
+    assert len(rows) == 4
+    # every chunk's offsets must reconstruct within the source that
+    # actually CONTAINS it (chunk texts are disjoint between t1 and t2)
     for r in rows:
-        by_text.setdefault(r.chunk_text, []).append(r)
-    for src in (t1, t2):
-        for r in rows:
-            if r.chunk_text in src:
-                if src[r.char_start : r.char_end] == r.chunk_text:
-                    break
-        # every chunk's offsets must reconstruct within ITS source text
-    for r in rows:
-        assert (t1[r.char_start : r.char_end] == r.chunk_text) or (
-            t2[r.char_start : r.char_end] == r.chunk_text
-        )
+        src = t1 if r.chunk_text in t1 else t2
+        assert src[r.char_start : r.char_end] == r.chunk_text
 
 
 def test_chunk_by_heading_plan_has_no_shuffle(spark):
