@@ -44,6 +44,39 @@ def _iceberg_cat(spark, tmp_path):
     return cat
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The co-location contract: two tables bucketed identically on the
+    join key sort-merge-join with NO Exchange on either side — the scale
+    property that lets repeated doc_hash joins skip re-shuffling the fact
+    table. Broadcast is disabled for the assertion so the planner cannot
+    sidestep the bucketed SMJ."""
+    cat = Catalog(spark, str(tmp_path), namespace="buckt")
+    facts = spark.range(0, 2000).selectExpr(
+        "cast(id as string) as doc_hash", "id as n_chars"
+    )
+    dims = spark.range(0, 500).selectExpr(
+        "cast(id as string) as doc_hash", "id * 2 as score"
+    )
+    try:
+        cat.write_bucketed(facts, "facts", ["doc_hash"], num_buckets=8)
+        cat.write_bucketed(dims, "dims", ["doc_hash"], num_buckets=8)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = cat.read_bucketed("facts").join(
+                cat.read_bucketed("dims"), "doc_hash"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucketing co-locates both sides
+            assert joined.count() == 500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for t in ("buckt_facts", "buckt_dims"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_iceberg_identifier_resolution(spark, tmp_path):
     cat = _iceberg_cat(spark, tmp_path)
     assert cat.identifier("pages") == "ice.db.pages"
