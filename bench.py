@@ -85,7 +85,11 @@ def bench_extraction(spark, sf: float) -> tuple[float, dict]:
 
     out = os.path.join(tempfile.gettempdir(), "da_spark_bench_out")
     walls = []
-    for _ in range(3):  # best-of-3: shared-VM noise only ever slows a run
+    # best-of-5 for the FLAGSHIP metric: VM noise only ever slows a run,
+    # and the extract trial is ~1.5-2.5 s, so two extra trials cost ~5 s
+    # for a much better chance of catching a clean scheduling window
+    # (measured spread within one bench: 1.36-2.1 s for identical work)
+    for _ in range(5):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         # production plan: scan-aligned extraction (8 MB splits), then ONE
