@@ -1,0 +1,312 @@
+"""Pure-stdlib media codecs: real decode for PNG / BMP / WAV payloads.
+
+The container has no PIL/ffmpeg, but these public formats need only
+zlib + struct + the stdlib ``wave`` module, so the multimodal operator's
+decode seam (operators/multimodal.py) can run a REAL decoder for them —
+the NotImplementedError stub now covers only formats that genuinely need
+an external codec (JPEG/MP4/...).
+
+Scope (documented):
+  * PNG (RFC 2083 / ISO 15948): 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline
+    filters (None/Sub/Up/Average/Paeth); non-interlaced only (Adam7
+    raises ValueError -> caller isolates).
+  * BMP: BITMAPINFOHEADER, uncompressed 24-bit BGR, bottom-up or
+    top-down.
+  * WAV: whatever ``wave`` accepts (PCM), decoded to mono int16.
+
+Every decoder is a total-with-ValueError pure function of the bytes —
+no RNG, no wall clock — so features are byte-identical at any
+parallelism (the same determinism contract as the HTML/PDF kernels).
+Scanline unfiltering is per-byte Python on the sequential filters
+(Sub/Average/Paeth); fine for feature extraction over sampled media, and
+the seam to swap in a vectorized decoder is exactly one function.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from typing import List, Tuple
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# ITU-R BT.601 luma weights in integer form (deterministic; no float
+# rounding differences across platforms for uint8 inputs)
+_LUMA_R, _LUMA_G, _LUMA_B = 299, 587, 114
+
+
+def sniff_media(payload: bytes) -> str:
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa = p - a if p >= a else a - p
+    pb = p - b if p >= b else b - p
+    pc = p - c if p >= c else c - p
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering -> raw pixel bytes (row-major)."""
+    stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        raise ValueError("png: truncated pixel data")
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        pos += stride
+        o = y * stride
+        prev_o = o - stride
+        if ftype == 0:  # None
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                out[o + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                up = out[prev_o + i] if y > 0 else 0
+                out[o + i] = (line[i] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[prev_o + i] if y > 0 else 0
+                out[o + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[prev_o + i] if y > 0 else 0
+                ul = out[prev_o + i - bpp] if (y > 0 and i >= bpp) else 0
+                out[o + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {ftype}")
+    return out
+
+
+def decode_png(payload: bytes) -> Tuple[int, int, np.ndarray]:
+    """PNG bytes -> (width, height, 2-D uint8 LUMINANCE array)."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("png: bad magic")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat: List[bytes] = []
+    palette = b""
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc (crc unchecked)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    if bit_depth != 8:
+        raise ValueError(f"png: unsupported bit depth {bit_depth}")
+    if interlace != 0:
+        raise ValueError("png: Adam7 interlace out of scope")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"png: unsupported color type {color_type}")
+    if width <= 0 or height <= 0 or width * height > 64_000_000:
+        raise ValueError("png: dimensions out of range")
+    raw = zlib.decompress(b"".join(idat))
+    px = np.frombuffer(
+        bytes(_unfilter(raw, width, height, channels)), dtype=np.uint8
+    ).reshape(height, width, channels)
+    if color_type == 0:
+        gray = px[:, :, 0]
+    elif color_type == 4:
+        gray = px[:, :, 0]  # gray channel; alpha ignored for luminance
+    elif color_type == 3:
+        if len(palette) < 3:
+            raise ValueError("png: palette missing")
+        pal = np.frombuffer(palette, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+        lut = (
+            pal[:, 0] * _LUMA_R + pal[:, 1] * _LUMA_G + pal[:, 2] * _LUMA_B
+        ) // 1000
+        gray = lut.astype(np.uint8)[np.minimum(px[:, :, 0], len(lut) - 1)]
+    else:  # 2 (RGB) or 6 (RGBA)
+        rgb = px[:, :, :3].astype(np.uint32)
+        gray = (
+            (rgb[:, :, 0] * _LUMA_R + rgb[:, :, 1] * _LUMA_G + rgb[:, :, 2] * _LUMA_B)
+            // 1000
+        ).astype(np.uint8)
+    return width, height, gray
+
+
+def encode_png(gray: np.ndarray) -> bytes:
+    """2-D uint8 array -> grayscale 8-bit PNG (filter 0). Deterministic —
+    the generator-side twin of decode_png, used by tests/fixtures."""
+    h, w = gray.shape
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bit)
+
+
+def decode_bmp(payload: bytes) -> Tuple[int, int, np.ndarray]:
+    """BMP bytes -> (width, height, 2-D uint8 luminance array)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("bmp: bad header")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("bmp: ancient header out of scope")
+    width, height_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError("bmp: only uncompressed 24-bit supported")
+    height = abs(height_raw)
+    if width <= 0 or height == 0 or width * height > 64_000_000:
+        raise ValueError("bmp: dimensions out of range")
+    stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError("bmp: truncated pixel data")
+    rows = []
+    for y in range(height):
+        o = data_off + y * stride
+        rows.append(np.frombuffer(payload[o : o + width * 3], dtype=np.uint8))
+    px = np.stack(rows).reshape(height, width, 3).astype(np.uint32)  # BGR
+    if height_raw > 0:
+        px = px[::-1]  # bottom-up storage -> top-down
+    gray = (
+        (px[:, :, 2] * _LUMA_R + px[:, :, 1] * _LUMA_G + px[:, :, 0] * _LUMA_B) // 1000
+    ).astype(np.uint8)
+    return width, height, gray
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """2-D uint8 -> 24-bit bottom-up BMP (generator/test twin)."""
+    h, w = gray.shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    body = b"".join(
+        np.repeat(gray[y], 3).astype(np.uint8).tobytes() + pad
+        for y in range(h - 1, -1, -1)
+    )
+    data_off = 54
+    file_size = data_off + len(body)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, data_off)
+        # BITMAPINFOHEADER: size,w,h,planes,bpp,comp,imgsize,xppm,yppm,clrs,important
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV
+
+
+def decode_wav(payload: bytes) -> Tuple[int, int, np.ndarray]:
+    """WAV bytes -> (n_samples, sample_rate, mono int16 sample array)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n = wf.getnframes()
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+        if width != 2:
+            raise ValueError(f"wav: only 16-bit PCM supported, got {width * 8}-bit")
+        if n * channels > 256_000_000:
+            raise ValueError("wav: too large")
+        frames = wf.readframes(n)
+    samples = np.frombuffer(frames, dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
+    return len(samples), rate, samples
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """mono int16 -> 16-bit PCM WAV (generator/test twin)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# features (shared shape with the stub path: 16 floats)
+
+N_FEATURES = 16
+
+
+def image_features(gray: np.ndarray) -> List[float]:
+    """Normalized 16-bin LUMINANCE histogram — the real-decode analog of
+    the stub's byte histogram; deterministic integer binning."""
+    hist, _ = np.histogram(gray.reshape(-1), bins=N_FEATURES, range=(0, 256))
+    total = max(1, gray.size)
+    return [float(x) for x in (hist / total).astype(np.float32)]
+
+
+def audio_features(samples: np.ndarray) -> List[float]:
+    """16 floats: normalized 8-bin amplitude histogram + rms + zero-cross
+    rate + 6 zero pads (fixed width shared with image features)."""
+    if samples.size == 0:
+        return [0.0] * N_FEATURES
+    a = samples.astype(np.float64) / 32768.0
+    hist, _ = np.histogram(np.abs(a), bins=8, range=(0.0, 1.0))
+    hist = (hist / samples.size).astype(np.float32)
+    rms = float(np.sqrt(np.mean(a * a)))
+    zc = float(np.mean(np.abs(np.diff(np.signbit(a).astype(np.int8)))))
+    out = [float(x) for x in hist] + [rms, zc] + [0.0] * 6
+    return [float(np.float32(x)) for x in out]

@@ -3,12 +3,21 @@
 For a 100 TB training-data pipeline, media payloads ride in the table as
 ``binary`` columns with a typed metadata struct, and every transform is an
 Arrow-batched ``mapInPandas`` stage — identical plumbing to the HTML/PDF
-extraction stage. The actual codecs (PIL/ffmpeg/librosa) are NOT in this
-container, so the decode step is stubbed: ``decode_stub=True`` (default)
-runs a deterministic fake decoder (md5-derived dimensions + byte
-histogram features, both SQL-reproducible — see the q24 oracle) so schema, partitioning, UDF signature and batch shape
-are real and tested; ``decode_stub=False`` raises NotImplementedError at
-the decode call site, marking exactly where a real codec plugs in.
+extraction stage. Two decode paths:
+
+  * ``decode_stub=True`` (default): a deterministic fake decoder
+    (md5-derived dimensions + byte-histogram features, both
+    SQL-reproducible — the q24 oracle recomputes them in DuckDB), so
+    schema, partitioning, UDF signature and batch shape are gated even
+    where no codec exists.
+  * ``decode_stub=False``: REAL decoding for the formats pure stdlib can
+    handle — PNG (zlib inflate + scanline unfilter), uncompressed 24-bit
+    BMP, and 16-bit PCM WAV (kernel/media.py; no PIL/ffmpeg needed) —
+    emitting true dimensions / duration and luminance/amplitude
+    histogram features. Formats that genuinely need an external codec
+    (JPEG/MP4/...) sniff as 'unknown' and yield a null-feature row
+    (per-payload isolation, same contract as the extraction kernel);
+    that row is exactly where PIL/ffmpeg would plug in.
 """
 
 from __future__ import annotations
@@ -40,6 +49,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("content_hash", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
     ]
 )
@@ -74,9 +84,31 @@ def media_features(
 ) -> DataFrame:
     """payload binary -> feature rows via mapInPandas (Arrow batches).
 
-    With a real codec installed, replace the _fake_decode call below —
-    the Spark-side plumbing (pruned input, batch iterator, fixed output
-    schema) stays as is."""
+    ``decode_stub=False`` runs the real stdlib codecs (see module
+    docstring); the Spark-side plumbing (pruned input, batch iterator,
+    fixed output schema) is identical on both paths."""
+
+    def _real_decode(b: bytes) -> tuple:
+        """-> (kind, width, height, duration_ms, features) with
+        per-payload isolation: corrupt/unknown media yields null fields,
+        never an exception out of the batch."""
+        from document_ai_spark.kernel import media as M
+
+        kind = M.sniff_media(b)
+        try:
+            if kind == "png":
+                w, h, gray = M.decode_png(b)
+                return kind, w, h, 0, M.image_features(gray)
+            if kind == "bmp":
+                w, h, gray = M.decode_bmp(b)
+                return kind, w, h, 0, M.image_features(gray)
+            if kind == "wav":
+                n, rate, samples = M.decode_wav(b)
+                dur = (n * 1000) // max(1, rate)
+                return kind, None, None, dur, M.audio_features(samples)
+        except Exception:
+            return kind, None, None, None, None
+        return "unknown", None, None, None, None  # the external-codec seam
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -84,21 +116,21 @@ def media_features(
             payloads = pdf[payload_col].tolist()
             rows = {k: [] for k in
                     ("media_id", "media_type", "n_bytes", "content_hash",
-                     "width", "height", "features")}
+                     "width", "height", "duration_ms", "features")}
             for mid, p in zip(ids, payloads):
                 b = bytes(p) if p is not None else b""
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real media codec not available in this environment; "
-                        "install PIL/ffmpeg and replace _fake_decode"
-                    )
-                w, h, feats = _fake_decode(b)
+                if decode_stub:
+                    w, h, feats = _fake_decode(b)
+                    kind, dur = media_type, 0
+                else:
+                    kind, w, h, dur, feats = _real_decode(b)
                 rows["media_id"].append(mid)
-                rows["media_type"].append(media_type)
+                rows["media_type"].append(kind)
                 rows["n_bytes"].append(len(b))
                 rows["content_hash"].append(hashlib.md5(b).hexdigest())
                 rows["width"].append(w)
                 rows["height"].append(h)
+                rows["duration_ms"].append(dur)
                 rows["features"].append(feats)
             yield pd.DataFrame(rows)
 

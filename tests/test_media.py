@@ -1,0 +1,185 @@
+"""Pure-stdlib media codecs (kernel/media.py) + the real-decode path of
+operators/multimodal.media_features."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from document_ai_spark.kernel.media import (
+    PNG_MAGIC,
+    audio_features,
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    image_features,
+    sniff_media,
+)
+
+
+def _grad(h=12, w=17):
+    return np.add.outer(np.arange(h) * 13, np.arange(w) * 7).astype(np.uint8)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(width, height, color_type, channels, rows_filtered: bytes, extra=b"") -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(rows_filtered, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_sniff():
+    assert sniff_media(encode_png(_grad())) == "png"
+    assert sniff_media(encode_bmp(_grad())) == "bmp"
+    assert sniff_media(encode_wav(np.zeros(10, dtype=np.int16))) == "wav"
+    assert sniff_media(b"\xff\xd8\xff\xe0jpeg-ish") == "unknown"
+
+
+def test_png_roundtrip_gray():
+    img = _grad()
+    w, h, gray = decode_png(encode_png(img))
+    assert (w, h) == (17, 12)
+    assert np.array_equal(gray, img)
+
+
+def _forward_filter(img: np.ndarray, ftype: int, bpp: int = 1) -> bytes:
+    """Apply a PNG filter forward (encoder side) to build test vectors."""
+    h, w = img.shape
+    out = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        row = img[y].astype(np.int16)
+        enc = bytearray([ftype])
+        for i in range(w):
+            left = int(row[i - 1]) if i >= 1 else 0
+            up = int(prev[i])
+            ul = int(prev[i - 1]) if (y > 0 and i >= 1) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up if y > 0 else 0
+            elif ftype == 3:
+                pred = ((left + (up if y > 0 else 0)) >> 1)
+            else:  # 4
+                a, b, c = left, (up if y > 0 else 0), ul
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc.append((int(row[i]) - pred) & 0xFF)
+        out += enc
+        prev = row
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filters_decode_identically(ftype):
+    img = _grad(9, 11)
+    payload = _png(11, 9, 0, 1, _forward_filter(img, ftype))
+    w, h, gray = decode_png(payload)
+    assert np.array_equal(gray, img), f"filter {ftype}"
+
+
+def test_png_rgb_and_rgba_luminance():
+    h, w = 5, 6
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200  # red plane
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    _, _, gray = decode_png(_png(w, h, 2, 3, raw))
+    assert int(gray[0, 0]) == (200 * 299) // 1000
+    rgba = np.dstack([rgb, np.full((h, w), 128, np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    _, _, gray2 = decode_png(_png(w, h, 6, 4, raw))
+    assert np.array_equal(gray, gray2)  # alpha ignored for luminance
+
+
+def test_png_palette():
+    pal = bytes([255, 0, 0, 0, 255, 0])  # idx0 red, idx1 green
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    payload = _png(2, 2, 3, 1, raw, extra=_chunk(b"PLTE", pal))
+    _, _, gray = decode_png(payload)
+    assert int(gray[0, 0]) == (255 * 299) // 1000
+    assert int(gray[0, 1]) == (255 * 587) // 1000
+
+
+def test_png_rejects_unsupported_and_garbage():
+    img = _grad(4, 4)
+    interlaced = PNG_MAGIC + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    ) + _chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(interlaced)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # truncated IDAT -> zlib/ValueError, never a hang
+    good = encode_png(img)
+    with pytest.raises(Exception):
+        decode_png(good[: len(good) - 30] + b"\x00" * 4)
+
+
+def test_bmp_roundtrip_and_padding():
+    img = _grad(5, 5)  # width 5 -> 15-byte rows padded to 16
+    w, h, gray = decode_bmp(encode_bmp(img))
+    assert (w, h) == (5, 5)
+    assert np.array_equal(gray, img)
+
+
+def test_wav_roundtrip_duration_and_features():
+    t = np.arange(1600)
+    samples = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    payload = encode_wav(samples, rate=16000)
+    n, rate, back = decode_wav(payload)
+    assert (n, rate) == (1600, 16000)
+    assert np.array_equal(back, samples)
+    feats = audio_features(back)
+    assert len(feats) == 16 and feats[8] > 0.1  # rms of a loud sine
+
+
+def test_image_features_shape_and_mass():
+    feats = image_features(_grad())
+    assert len(feats) == 16
+    assert abs(sum(feats) - 1.0) < 1e-5
+
+
+def test_media_features_real_decode_path(spark):
+    from document_ai_spark.operators.multimodal import media_features
+
+    img = _grad(8, 10)
+    wav = (np.ones(800) * 5000).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_png(img))),
+        (2, bytearray(encode_bmp(img))),
+        (3, bytearray(encode_wav(wav, rate=8000))),
+        (4, bytearray(b"\xff\xd8\xffjpeg-not-supported")),
+        (5, bytearray(PNG_MAGIC + b"corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in media_features(df, decode_stub=False).collect()}
+    assert got[1].media_type == "png" and (got[1].width, got[1].height) == (10, 8)
+    assert got[2].media_type == "bmp" and (got[2].width, got[2].height) == (10, 8)
+    assert got[3].media_type == "wav" and got[3].duration_ms == 100
+    assert got[3].features is not None and len(got[3].features) == 16
+    # png and bmp of the SAME image agree on luminance features
+    assert got[1].features == got[2].features
+    # unknown codec + corrupt payload isolate to null-feature rows
+    assert got[4].media_type == "unknown" and got[4].features is None
+    assert got[5].media_type == "png" and got[5].features is None

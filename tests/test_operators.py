@@ -276,14 +276,19 @@ def test_media_features_deterministic_and_shaped(spark, docs):
         assert abs(sum(feats) - 1.0) < 1e-3  # normalized histogram
 
 
-def test_media_decode_stub_raises_when_disabled(spark, docs):
+def test_media_real_decode_isolates_unknown_formats(spark, docs):
+    # decode_stub=False now runs the REAL stdlib codecs (PNG/BMP/WAV);
+    # text payloads sniff as 'unknown' and isolate to null-feature rows —
+    # the external-codec seam — instead of raising (kernel totality)
     from document_ai_spark.operators.multimodal import media_features
 
     media = docs.limit(2).select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
     )
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        media_features(media, decode_stub=False).collect()
+    rows = media_features(media, decode_stub=False).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.media_type == "unknown" and r.features is None
 
 
 def test_frame_sample_plan(spark):
