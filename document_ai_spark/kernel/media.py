@@ -66,7 +66,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
-    """Reverse PNG scanline filtering -> raw pixel bytes (row-major)."""
+    """Reverse PNG scanline filtering -> raw pixel bytes (row-major).
+    Filters 0 (None) and 2 (Up) are whole-row numpy ops; the
+    sequentially-dependent Sub/Average/Paeth run per byte (acceptable at
+    the sampled-media size cap; a vectorized library is the swap-in seam
+    for bigger inputs)."""
     stride = width * bpp
     if len(raw) < height * (stride + 1):
         raise ValueError("png: truncated pixel data")
@@ -81,14 +85,17 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
         prev_o = o - stride
         if ftype == 0:  # None
             out[o : o + stride] = line
+        elif ftype == 2 and y > 0:  # Up: whole-row vector add
+            out[o : o + stride] = (
+                np.frombuffer(line, dtype=np.uint8)
+                + np.frombuffer(out[prev_o:o], dtype=np.uint8)
+            ).tobytes()
+        elif ftype == 2:  # Up on the first row == None
+            out[o : o + stride] = line
         elif ftype == 1:  # Sub
             for i in range(stride):
                 left = out[o + i - bpp] if i >= bpp else 0
                 out[o + i] = (line[i] + left) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                up = out[prev_o + i] if y > 0 else 0
-                out[o + i] = (line[i] + up) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
                 left = out[o + i - bpp] if i >= bpp else 0
@@ -105,8 +112,26 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+# sampled-media envelope: 16M px (4096x4096). Above this the per-byte
+# unfilter loop would pin a core for minutes (the CPU analog of a zlib
+# bomb) — exactly the kind of payload the feature stage must isolate,
+# not chew on.
+_MAX_PIXELS = 16_000_000
+
+
 def decode_png(payload: bytes) -> Tuple[int, int, np.ndarray]:
     """PNG bytes -> (width, height, 2-D uint8 LUMINANCE array)."""
+    try:
+        return _decode_png_inner(payload)
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error, zlib.error, slicing...
+        # total-with-ValueError contract: malformed bytes surface as ONE
+        # exception type, matching the HTML/PDF kernels' error pattern
+        raise ValueError(f"png: malformed ({type(exc).__name__}: {exc})")
+
+
+def _decode_png_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
     if payload[:8] != PNG_MAGIC:
         raise ValueError("png: bad magic")
     pos = 8
@@ -139,9 +164,13 @@ def decode_png(payload: bytes) -> Tuple[int, int, np.ndarray]:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"png: unsupported color type {color_type}")
-    if width <= 0 or height <= 0 or width * height > 64_000_000:
+    if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
         raise ValueError("png: dimensions out of range")
-    raw = zlib.decompress(b"".join(idat))
+    # inflate BOUNDED by what the declared dimensions can hold — a
+    # zlib-bomb IDAT must not balloon memory past the header's claim
+    need = height * (width * channels + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), need)
     px = np.frombuffer(
         bytes(_unfilter(raw, width, height, channels)), dtype=np.uint8
     ).reshape(height, width, channels)
@@ -196,6 +225,15 @@ def encode_png(gray: np.ndarray) -> bytes:
 
 def decode_bmp(payload: bytes) -> Tuple[int, int, np.ndarray]:
     """BMP bytes -> (width, height, 2-D uint8 luminance array)."""
+    try:
+        return _decode_bmp_inner(payload)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"bmp: malformed ({type(exc).__name__}: {exc})")
+
+
+def _decode_bmp_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("bmp: bad header")
     (data_off,) = struct.unpack("<I", payload[10:14])
@@ -208,7 +246,7 @@ def decode_bmp(payload: bytes) -> Tuple[int, int, np.ndarray]:
     if bpp != 24 or compression != 0:
         raise ValueError("bmp: only uncompressed 24-bit supported")
     height = abs(height_raw)
-    if width <= 0 or height == 0 or width * height > 64_000_000:
+    if width <= 0 or height == 0 or width * height > _MAX_PIXELS:
         raise ValueError("bmp: dimensions out of range")
     stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
     need = data_off + stride * height
@@ -253,6 +291,15 @@ def encode_bmp(gray: np.ndarray) -> bytes:
 
 def decode_wav(payload: bytes) -> Tuple[int, int, np.ndarray]:
     """WAV bytes -> (n_samples, sample_rate, mono int16 sample array)."""
+    try:
+        return _decode_wav_inner(payload)
+    except ValueError:
+        raise
+    except Exception as exc:  # wave.Error, EOFError, struct.error...
+        raise ValueError(f"wav: malformed ({type(exc).__name__}: {exc})")
+
+
+def _decode_wav_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
     import wave
 
     with wave.open(io.BytesIO(payload), "rb") as wf:
@@ -307,6 +354,12 @@ def audio_features(samples: np.ndarray) -> List[float]:
     hist, _ = np.histogram(np.abs(a), bins=8, range=(0.0, 1.0))
     hist = (hist / samples.size).astype(np.float32)
     rms = float(np.sqrt(np.mean(a * a)))
-    zc = float(np.mean(np.abs(np.diff(np.signbit(a).astype(np.int8)))))
+    # <2 samples have no transitions; np.mean of the empty diff is NaN,
+    # which would poison the fixed-width feature contract
+    zc = (
+        float(np.mean(np.abs(np.diff(np.signbit(a).astype(np.int8)))))
+        if samples.size >= 2
+        else 0.0
+    )
     out = [float(x) for x in hist] + [rms, zc] + [0.0] * 6
     return [float(np.float32(x)) for x in out]

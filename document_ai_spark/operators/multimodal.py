@@ -54,7 +54,10 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-N_FEATURES = 16
+# single source of the fixed feature width, shared by the stub and the
+# real-decode paths (a silent mismatch would desynchronize q24's f00..f15
+# flatten from the real features) — defined next to the real codecs
+from document_ai_spark.kernel.media import N_FEATURES  # noqa: E402
 
 
 def _fake_decode(payload: bytes) -> tuple:

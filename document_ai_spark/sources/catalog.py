@@ -103,15 +103,35 @@ class Catalog:
         (tests/test_catalog.py pins the Exchange-free sort-merge plan) —
         at 100 TB this is how the repeated dedup anti-joins / enrichment
         joins on doc_hash avoid re-shuffling the fact table every run.
-        Iceberg analog: a `bucket(N, col)` partition transform. Spark's
-        bucketing metadata requires the session catalog, so this writes
-        through ``saveAsTable`` with an explicit external path (the
-        Parquet fallback's directory layout still matches
-        ``identifier()``)."""
+        Iceberg mode writes the real analog — a ``bucket(N, col)``
+        partition transform via writeTo(). The Parquet fallback records
+        Spark bucketing metadata through ``saveAsTable`` with an explicit
+        external path (directory layout still matches ``identifier()``);
+        that path supports ONLY mode='overwrite' — a drop+recreate is the
+        sole way to refresh external-table bucketing metadata atomically
+        enough for this sandbox, and pretending to honor append/error
+        semantics on top of it would lie (append under Iceberg uses
+        ``append(df, table)`` on the transformed table instead)."""
+        if self.iceberg:
+            ident = self.identifier(table)
+            w = df.writeTo(ident).partitionedBy(
+                F.bucket(num_buckets, F.col(bucket_cols[0]))
+            )
+            if mode == "overwrite":
+                w.createOrReplace()
+            else:
+                w.append() if self.spark.catalog.tableExists(ident) else w.create()
+            return
+        if mode != "overwrite":
+            raise ValueError(
+                "parquet-fallback bucketed writes are overwrite-only "
+                "(saveAsTable bucketing metadata cannot be appended to safely); "
+                "use the Iceberg catalog for appendable bucketed tables"
+            )
         path = self.identifier(table)
         name = f"{self.namespace}_{table}"
         w = (
-            df.write.mode(mode)
+            df.write.mode("overwrite")
             .format("parquet")
             .option("path", path)
             .bucketBy(num_buckets, *bucket_cols)
@@ -124,6 +144,8 @@ class Catalog:
     def read_bucketed(self, table: str) -> DataFrame:
         """Read a table written by write_bucketed WITH its bucketing spec
         (reading the parquet path directly would lose it)."""
+        if self.iceberg:
+            return self.spark.read.table(self.identifier(table))
         return self.spark.read.table(f"{self.namespace}_{table}")
 
     def drop(self, table: str) -> None:
@@ -133,4 +155,8 @@ class Catalog:
         else:
             import shutil
 
+            # a write_bucketed table also registered a session-catalog
+            # entry pointing at this path; drop BOTH or read_bucketed
+            # would resolve a stale table over a deleted directory
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.namespace}_{table}")
             shutil.rmtree(ident, ignore_errors=True)

@@ -77,6 +77,26 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_bucketed_write_rejects_append_and_drop_cleans_catalog(spark, tmp_path):
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path), namespace="bk2")
+    df = spark.range(0, 50).selectExpr("cast(id as string) as doc_hash", "id as v")
+    try:
+        # parquet fallback is overwrite-only (saveAsTable bucketing
+        # metadata cannot be appended to safely) — the mode param must
+        # not pretend otherwise
+        with pytest.raises(ValueError, match="overwrite-only"):
+            cat.write_bucketed(df, "t", ["doc_hash"], num_buckets=4, mode="append")
+        cat.write_bucketed(df, "t", ["doc_hash"], num_buckets=4)
+        assert cat.read_bucketed("t").count() == 50
+        # drop() must remove the session-catalog entry too, not just files
+        cat.drop("t")
+        assert not spark.catalog.tableExists("bk2_t")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk2_t")
+
+
 def test_iceberg_identifier_resolution(spark, tmp_path):
     cat = _iceberg_cat(spark, tmp_path)
     assert cat.identifier("pages") == "ice.db.pages"

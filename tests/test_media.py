@@ -154,6 +154,55 @@ def test_wav_roundtrip_duration_and_features():
     assert len(feats) == 16 and feats[8] > 0.1  # rms of a loud sine
 
 
+def test_png_zlib_bomb_is_bounded():
+    # declared dims 2x2 but an IDAT inflating to ~64MB: the bounded
+    # decompressobj must stop at the header's claim (6 bytes here) — the
+    # decode yields the declared 2x2 image without ever materializing the
+    # bomb's full output
+    import resource
+
+    bomb = zlib.compress(b"\x00" * 64_000_000, 9)
+    payload = (
+        _png(2, 2, 0, 1, b"")[: 8 + 25] + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+    )
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    w, h, gray = decode_png(payload)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert (w, h) == (2, 2) and gray.shape == (2, 2)
+    assert (after - before) < 50_000  # KB: no 64MB materialization
+
+
+def test_decoders_raise_only_valueerror():
+    # total-with-ValueError contract: struct/zlib/wave errors all convert
+    short_ihdr = PNG_MAGIC + _chunk(b"IHDR", b"\x00\x01") + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(short_ihdr)
+    good = encode_png(_grad())
+    with pytest.raises(ValueError):
+        decode_png(good[:-40] + b"\x00" * 8)  # truncated IDAT -> zlib error
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x01" * 60)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunkjunk")
+
+
+def test_oversize_dimensions_rejected():
+    ihdr = struct.pack(">IIBBBBB", 8000, 8000, 8, 6, 0, 0, 0)  # 64M px RGBA
+    payload = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(
+        b"IDAT", zlib.compress(b"\x00" * 100)
+    ) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(payload)  # above the sampled-media pixel cap
+
+
+def test_one_sample_wav_has_no_nan_features():
+    payload = encode_wav(np.array([1234], dtype=np.int16), rate=8000)
+    n, rate, samples = decode_wav(payload)
+    feats = audio_features(samples)
+    assert len(feats) == 16
+    assert all(f == f for f in feats)  # no NaN (NaN != NaN)
+
+
 def test_image_features_shape_and_mass():
     feats = image_features(_grad())
     assert len(feats) == 16
