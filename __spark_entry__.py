@@ -825,6 +825,88 @@ def q47_ivf_ann_exact_at_full_probe(spark, sf_dir):
     return ivf_topk(e, qv, cents, k=7, nprobe=len(cents))
 
 
+def _q48_media_dir() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v1")
+
+
+def _q48_make_media_corpus(path: str, n: int = 180) -> None:
+    """Deterministic media fixtures WITH ground-truth columns: payloads
+    built by the kernel's own encoders (PNG/BMP/WAV), truth = the encode
+    parameters. No RNG — everything is a formula of media_id."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_ai_spark.kernel.media import encode_bmp, encode_png, encode_wav
+
+    ids, kinds, widths, heights, durs, payloads = [], [], [], [], [], []
+    for i in range(n):
+        kind = ("png", "bmp", "wav")[i % 3]
+        ids.append(i)
+        kinds.append(kind)
+        if kind == "wav":
+            n_samp = 800 + i * 13
+            rate = 8000
+            t = np.arange(n_samp)
+            samples = (6000 * np.sin(2 * np.pi * (220 + i) * t / rate)).astype(np.int16)
+            payloads.append(encode_wav(samples, rate))
+            widths.append(None)
+            heights.append(None)
+            durs.append((n_samp * 1000) // rate)
+        else:
+            w = 16 + (i * 5) % 48
+            h = 16 + (i * 7) % 48
+            img = np.add.outer(np.arange(h) * (1 + i % 9), np.arange(w) * 3).astype(
+                np.uint8
+            )
+            payloads.append(encode_png(img) if kind == "png" else encode_bmp(img))
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+    table = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "true_kind": pa.array(kinds, pa.string()),
+            "true_width": pa.array(widths, pa.int32()),
+            "true_height": pa.array(heights, pa.int32()),
+            "true_duration_ms": pa.array(durs, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    pq.write_table(table, os.path.join(path, "media.parquet"))
+
+
+def q48_media_decode_truth(spark, sf_dir):
+    """REAL media decoding under the driver's gate: payloads are encoded
+    by the kernel's own deterministic PNG/BMP/WAV encoders with the
+    encode parameters stored as TRUTH columns; the Spark side must
+    recover exactly those parameters by actually decoding the bytes
+    (kernel/media.py — zlib inflate + scanline unfilter, BMP header
+    parse, PCM frames). The oracle simply reads the stored truth — any
+    decode drift (dimensions, duration, format sniff) hash-mismatches.
+    Feature VALUES are pinned separately in tests/test_media.py."""
+    from document_ai_spark.operators.multimodal import media_features
+
+    mdir = _q48_media_dir()
+    if not os.path.isdir(mdir):
+        os.makedirs(mdir, exist_ok=True)
+        _q48_make_media_corpus(mdir)
+    media = spark.read.parquet(mdir)
+    feats = media_features(media, decode_stub=False)
+    return (
+        feats.select(
+            "media_id",
+            "media_type",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def q42_sessionize_stream(spark, sf_dir):
     """The custom STATEFUL streaming operator itself under the driver's
     gate: a real applyInPandasWithState run (availableNow, memory sink)
@@ -959,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_markdown_chunks": q45_markdown_chunks,
         "q46_sessionize_sharded": q46_sessionize_sharded,
         "q47_ivf_ann_exact_at_full_probe": q47_ivf_ann_exact_at_full_probe,
+        "q48_media_decode_truth": q48_media_decode_truth,
     }
 
 
@@ -1700,6 +1783,16 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({_cosine('e.embedding', 'q.qv')}, 4) AS score
 FROM embeddings e, q
 ORDER BY score DESC, e.vec_id ASC LIMIT 7
+""",
+        # real media decode vs stored encode-parameter truth: the oracle
+        # reads the ground-truth columns the generator wrote; Spark must
+        # RECOVER them by decoding the payload bytes
+        "q48_media_decode_truth": f"""
+SELECT media_id, true_kind AS media_type,
+  CAST(true_width AS INT) AS width, CAST(true_height AS INT) AS height,
+  CAST(true_duration_ms AS BIGINT) AS duration_ms
+FROM read_parquet('{_q48_media_dir()}/media.parquet')
+ORDER BY media_id
 """,
         # IVF at full probe == brute force (the q41 contract for the
         # learned-centroid path; the oracle is the same exact top-7 SQL)
