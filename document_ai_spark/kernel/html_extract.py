@@ -349,7 +349,8 @@ def _tokenize_blocks_merged(s: str) -> List[Block]:
                     elif name == "a" and link_depth > 0:
                         link_depth -= 1
                     if name in BLOCK_TAGS:
-                        flush()
+                        if pieces:  # empty flush is a no-op; skip the call
+                            flush()
                         cur_tag = "body"
             else:
                 # == handle_starttag (+ immediate endtag for self-closing)
@@ -358,14 +359,16 @@ def _tokenize_blocks_merged(s: str) -> List[Block]:
                 elif name in SKIP_TAGS:
                     skip_depth += 1
                     open_skip_tags.append(name)
-                    flush()
+                    if pieces:
+                        flush()
                 elif not skip_depth:
                     if name in ("article", "main"):
                         article_depth += 1
                     elif name == "a":
                         link_depth += 1
                     if name in BLOCK_TAGS:
-                        flush()
+                        if pieces:
+                            flush()
                         cur_tag = name
                 if selfclose:
                     # handle_endtag immediately (undo skip push, etc.)
@@ -382,7 +385,8 @@ def _tokenize_blocks_merged(s: str) -> List[Block]:
                         elif name == "a" and link_depth > 0:
                             link_depth -= 1
                         if name in BLOCK_TAGS:
-                            flush()
+                            if pieces:
+                                flush()
                             cur_tag = "body"
                 elif name in _CDATA_ELEMS:
                     # raw CDATA until the close tag; script/style are
