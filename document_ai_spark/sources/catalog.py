@@ -114,9 +114,14 @@ class Catalog:
         ``append(df, table)`` on the transformed table instead)."""
         if self.iceberg:
             ident = self.identifier(table)
-            w = df.writeTo(ident).partitionedBy(
-                F.bucket(num_buckets, F.col(bucket_cols[0]))
-            )
+            # one bucket(N, col) transform PER bucket column — silently
+            # bucketing only the first column would break the co-location
+            # contract for multi-column specs (advice regression). Iceberg
+            # buckets per-column (N x N grid) rather than Spark's joint
+            # hash, but two tables written with the SAME spec still
+            # storage-partition-join shuffle-free, which is the contract.
+            transforms = [F.bucket(num_buckets, F.col(c)) for c in bucket_cols]
+            w = df.writeTo(ident).partitionedBy(*transforms)
             if mode == "overwrite":
                 w.createOrReplace()
             else:

@@ -180,6 +180,13 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         w = bytes((b,))
     if w:
         emit(table[w])
+        # Mirror the decoder's post-read assignment for this final code:
+        # _lzw_decode assigns one more table entry after reading it (prev +
+        # entry[:1]) and may bump the code width BEFORE reading EOD, so EOD
+        # must be emitted at that bumped width or boundary-aligned streams
+        # decode a garbage tail (fuzz-caught ~0.1% of streams).
+        if next_code < 4096 and next_code + early >= (1 << width) and width < 12:
+            width += 1
     emit(257)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

@@ -157,3 +157,25 @@ def test_iceberg_drop_issues_drop_table(spark, tmp_path):
     cat.spark = MagicMock()
     cat.drop("pages")
     cat.spark.sql.assert_called_once_with("DROP TABLE IF EXISTS ice.db.pages")
+
+
+def test_iceberg_bucketed_write_transforms_every_bucket_column(spark, tmp_path):
+    """Regression (round-3 ADVICE): the Iceberg branch used to apply
+    bucket(N, col) to bucket_cols[0] ONLY, silently dropping the rest of a
+    multi-column spec — the co-location contract then held for one column
+    while the Parquet fallback bucketed on all of them."""
+    from unittest.mock import MagicMock, call, patch
+
+    cat = _iceberg_cat(spark, tmp_path)
+    cat.spark = MagicMock()
+    df = MagicMock()
+
+    with patch("document_ai_spark.sources.catalog.F.bucket") as bucket:
+        cat.write_bucketed(df, "t", ["doc_hash", "warc_day"], num_buckets=8)
+    assert bucket.call_count == 2
+    cols = [c.args[1] for c in bucket.call_args_list]
+    assert [c.args[0] for c in bucket.call_args_list] == [8, 8]
+    df.writeTo.return_value.partitionedBy.assert_called_once_with(
+        bucket.return_value, bucket.return_value
+    )
+    df.writeTo.return_value.partitionedBy.return_value.createOrReplace.assert_called_once_with()

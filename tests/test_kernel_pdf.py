@@ -328,6 +328,17 @@ def test_lzw_roundtrip_fuzz():
         filler = bytes((i * 7 + j) % 251 for i in range(70) for j in range(70))
         data = filler + bytes((5, 5, 5, 200)) * 200 + filler
         assert _lzw_decode(_lzw_encode(data, early=early), early=early) == data
+    # EOD boundary alignment: the decoder assigns one more table entry
+    # after reading the FINAL data code and may bump the code width before
+    # reading EOD — low-entropy streams of many lengths hit the exact
+    # next_code + early == (1 << width) boundary (advice regression: the
+    # encoder used to emit 257 at the stale width, corrupting ~0.1%)
+    for early in (0, 1):
+        for _ in range(1500):
+            n = rng.randrange(0, 2500)
+            alpha = rng.randrange(2, 8)
+            data = bytes(rng.randrange(alpha) for _ in range(n))
+            assert _lzw_decode(_lzw_encode(data, early=early), early=early) == data
     # truncated / garbage LZW never hangs, raises only ValueError
     for _ in range(100):
         junk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
