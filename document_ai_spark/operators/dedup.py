@@ -344,18 +344,23 @@ def connected_components(
             .agg(F.min("p").alias("np"))
             .select(F.col("u").alias("id"), "np")
         )
+        # materialize the round ONCE with a changed flag riding along; the
+        # convergence probe then scans the checkpointed blocks instead of
+        # recomputing the whole round's lineage as a second job
         new_link = (
             jumped.join(nbr_min, "id", "left")
-            .select("id", F.least(F.col("p"), F.coalesce("np", "p")).alias("p"))
+            .join(link.select("id", F.col("p").alias("op")), "id")
+            .select(
+                "id",
+                F.least(F.col("p"), F.coalesce("np", "p")).alias("p"),
+                (F.least(F.col("p"), F.coalesce("np", "p")) != F.col("op")).alias(
+                    "changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_link.alias("n")
-            .join(link.alias("o"), "id")
-            .filter(F.col("n.p") != F.col("o.p"))
-            .limit(1)
-            .count()
-        )
-        link = new_link.localCheckpoint(eager=True) if changed else new_link
+        changed = new_link.filter("changed").limit(1).count()
+        link = new_link.select("id", "p")
         if not changed:
             break
     else:

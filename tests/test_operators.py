@@ -170,10 +170,31 @@ def test_embed_udf_matches_python_oracle(spark, docs):
     got = {r["doc_id"]: r["e"] for r in sample.select("doc_id", embed_udf("text").alias("e")).collect()}
     for r in sample.collect():
         want = embed_text_py(r["text"])
-        np.testing.assert_allclose(got[r["doc_id"]], want, rtol=1e-6)
+        assert got[r["doc_id"]] == want  # bit-exact, not approximate
     # unit norm
     for v in got.values():
         assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_embed_batch_is_bitwise_twin_of_scalar_path():
+    """The vectorized factorize+bincount batch path must be BYTE-identical
+    to the per-token scalar oracle (it is: every accumulated value is an
+    exact small integer in float64, so summation order cannot round)."""
+    import random
+
+    import pandas as pd
+
+    from document_ai_spark.functions.embed import _embed_batch, embed_text_py
+
+    rng = random.Random(11)
+    vocab = ["the", "a", "日本語", "тест", "x" * 40] + [f"t{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 250)))
+        for _ in range(400)
+    ] + ["", None, "   ", "!!!", "Mixed CASE case"]
+    batch = _embed_batch(pd.Series(texts))
+    for got, text in zip(batch, texts):
+        assert list(got) == embed_text_py(text)
 
 
 def test_lsh_topk_recall_vs_brute_force(spark, emb):
