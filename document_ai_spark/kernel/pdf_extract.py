@@ -57,12 +57,22 @@ composes in text space, item position is the matrix translation, item
 size scales by hypot(b, d)), and markdown-structured emission
 (``markdown=True``: heading-size regions get '#'-prefixes).
 
+Also handled (round 4): MODERN (PDF >= 1.5) file structure — objects
+packed zlib-compressed inside ``/Type /ObjStm`` object streams are
+unpacked into the object map (``/N`` pairs header + ``/First`` offset,
+§7.5.7), and ``/DecodeParms`` ``/Predictor`` de-prediction: PNG
+predictors 10..15 (per-row filter byte, Sub/Up/Average/Paeth
+reconstruction over /Columns×/Colors×/BitsPerComponent rows) and TIFF
+predictor 2 (§7.4.4.4). Object discovery stays SCAN-based (the regex
+scan + ObjStm expansion) rather than xref-driven — ``/Type /XRef``
+cross-reference streams are scanned over like any other stream object
+and their byte offsets are never needed, which also makes the kernel
+robust to the broken/rebuilt xref tables common in real crawls.
+
 Out of scope (documented): font width metrics (inter-glyph spacing is the
 TJ kerning heuristic only), mixed-width codespaces in one CMap, an
 indirect /Font VALUE inside a resources dict, per-filter /DecodeParms
-arrays (the first parms dict applies), and /Predictor de-prediction (a
-declared Predictor > 1 isolates the stream to b'' instead of emitting
-garbage).
+arrays (the first parms dict applies), and encrypted documents.
 """
 
 from __future__ import annotations
@@ -148,7 +158,47 @@ def _scan_objects(payload: bytes) -> dict:
             break
         objs[num] = payload[body_start:em]
         pos = em + 6  # len(b"endobj")
+    _expand_object_streams(objs)
     return objs
+
+
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)\b")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)\b")
+
+
+def _expand_object_streams(objs: dict) -> None:
+    """Unpack every /Type /ObjStm object stream (PDF 32000-1 §7.5.7) into
+    the object map: the decoded stream starts with /N whitespace-separated
+    (objnum, relative-offset) integer pairs; object i's body runs from
+    /First + offset_i to the next offset (last: to end of stream). Spec
+    forbids streams INSIDE an object stream, so one expansion pass is
+    complete — no recursion. Packed objects only fill numbers the
+    top-level scan did not already see (a direct definition wins, matching
+    incremental-update precedence without needing the xref). Malformed
+    object streams are skipped whole — per-document error isolation."""
+    for body in list(objs.values()):
+        sm = _STREAM_START_RE.search(body)
+        head = body[: sm.start()] if sm else body
+        if not _OBJSTM_RE.search(head):
+            continue
+        nm = _OBJSTM_N_RE.search(head)
+        fm = _OBJSTM_FIRST_RE.search(head)
+        if not (nm and fm):
+            continue
+        data = _stream_bytes(body, objs)
+        first = int(fm.group(1))
+        count = int(nm.group(1))
+        if not data or first > len(data):
+            continue
+        try:
+            ints = [int(t) for t in data[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(ints[0::2], ints[1::2]))[:count]
+        for i, (onum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(data)
+            objs.setdefault(onum, data[first + off : end])
 
 
 def _stream_bytes(obj_body: bytes, objs: dict | None = None) -> bytes:
@@ -228,17 +278,55 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
 _DECODEPARMS_RE = re.compile(rb"/DecodeParms\s*(?:\[\s*)?<<(.*?)>>", re.S)
 _EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _depredict(data: bytes, predictor: int, columns: int, colors: int, bpc: int) -> bytes:
+    """Reverse /DecodeParms /Predictor differencing (PDF 32000-1 §7.4.4.4)
+    applied on top of Flate/LZW: TIFF Predictor 2 (per-row horizontal
+    component differencing, undone as a column-wise cumulative sum mod
+    256) and PNG predictors 10..15 (each row = 1 filter byte +
+    Sub/Up/Average/Paeth-filtered bytes, reconstructed by the same
+    row-shape unfilter the media kernel uses — reused, not duplicated).
+    Raises ValueError on unsupported params / ragged rows (caller
+    isolates the stream to b'')."""
+    rowbytes = (columns * colors * bpc + 7) // 8
+    if rowbytes <= 0:
+        raise ValueError("predictor: bad row geometry")
+    if predictor == 2:  # TIFF horizontal differencing
+        if bpc != 8:
+            raise ValueError("TIFF predictor: only 8-bit components")
+        import numpy as np
+
+        if len(data) % rowbytes:
+            raise ValueError("predictor: ragged rows")
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, columns, colors)
+        return (arr.cumsum(axis=1, dtype=np.int64) & 0xFF).astype(np.uint8).tobytes()
+    if not (10 <= predictor <= 15):
+        raise ValueError(f"predictor {predictor} unsupported")
+    bpp = max(1, (colors * bpc) // 8)
+    if len(data) % (rowbytes + 1):
+        raise ValueError("predictor: ragged rows")
+    nrows = len(data) // (rowbytes + 1)
+    if rowbytes % bpp:
+        raise ValueError("predictor: row not a whole number of pixels")
+    from document_ai_spark.kernel.media import _unfilter
+
+    return bytes(_unfilter(data, rowbytes // bpp, nrows, bpp))
 
 
 def _decode_filters(head: bytes, data: bytes) -> bytes:
     """Apply the object's /Filter chain (possibly an array, in order) to
-    raw stream bytes. Unknown filters, unsupported /DecodeParms
-    (Predictor > 1), or decode errors yield b'' — per-document error
-    isolation; the kernel stays total. /DecodeParms subset: the FIRST
-    parms dict applies (array-of-parms alignment with a filter chain is
-    out of scope); /EarlyChange 0|1 honored for LZW, any declared
-    /Predictor > 1 isolates rather than emitting un-de-predicted bytes
-    that would silently decode to garbage text."""
+    raw stream bytes. Unknown filters, malformed /DecodeParms, or decode
+    errors yield b'' — per-document error isolation; the kernel stays
+    total. /DecodeParms subset: the FIRST parms dict applies
+    (array-of-parms alignment with a filter chain is out of scope);
+    /EarlyChange 0|1 honored for LZW; /Predictor (TIFF 2, PNG 10..15 with
+    /Columns //Colors //BitsPerComponent) is de-predicted AFTER the chain
+    — correct for the single-filter and filter-then-predictor layouts
+    real writers emit (xref/object streams are Flate+PNG-Up)."""
     m = _FILTER_RE.search(head)
     if not m:
         return data
@@ -247,11 +335,18 @@ def _decode_filters(head: bytes, data: bytes) -> bytes:
     else:
         names = [m.group(2)]
     early = 1
+    predictor, columns, colors, bpc = 1, 1, 1, 8
     pm = _DECODEPARMS_RE.search(head)
     if pm:
         parms = pm.group(1)
-        if (pred := _PREDICTOR_RE.search(parms)) and int(pred.group(1)) > 1:
-            return b""
+        if pred := _PREDICTOR_RE.search(parms):
+            predictor = int(pred.group(1))
+        if cm := _COLUMNS_RE.search(parms):
+            columns = int(cm.group(1))
+        if km := _COLORS_RE.search(parms):
+            colors = int(km.group(1))
+        if bm := _BPC_RE.search(parms):
+            bpc = int(bm.group(1))
         em = _EARLYCHANGE_RE.search(parms)
         if em:
             early = int(em.group(1))
@@ -280,6 +375,8 @@ def _decode_filters(head: bytes, data: bytes) -> bytes:
                 data = _lzw_decode(data, early=early)
             else:
                 return b""  # /DCTDecode etc.: opaque here, isolate
+        if predictor > 1:
+            data = _depredict(data, predictor, columns, colors, bpc)
     except Exception:
         return b""
     return data

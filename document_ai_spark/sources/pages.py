@@ -11,14 +11,16 @@ sandbox; identical directory layout).
 
 Row mix (FIXTURES.md §1): ~80% templated HTML (link-dense nav/header/
 footer/ads boilerplate + a text-dense <article> main block with <h2>
-section headings and a closing <ul> list), ~10% synthetic PDFs — 40%
-simple two-column Td/Tj pages, 40% multi-page documents exercising the
+section headings and a closing <ul> list), ~10% synthetic PDFs — 30%
+simple two-column Td/Tj pages, 30% multi-page documents exercising the
 widened grammar (/Kids order != byte order, /Contents indirection, Tm,
 accumulated Td, TL/T*/', TJ kerning arrays, escaped parens, an 18pt title
 line, page-2 encodings rotating Flate / [ASCII85+Flate] chain / LZW with
 indirect /Length), 20% byte-coded-font pages whose /ToUnicode CMap maps
-+3-shifted bytes back to text — a Zipf long tail of page sizes with a
-handful of giant pages
++3-shifted bytes back to text, 20% MODERN (PDF 1.5+, corpus v8) files
+whose dict objects all live inside a /Type /ObjStm (half predictor'd:
+Flate + PNG /Predictor 12) with a real /Type /XRef cross-reference
+stream — a Zipf long tail of page sizes with a handful of giant pages
 (x100 median — exercises salted repartitioning), and one of each edge case:
 empty, whitespace-only, truncated tags, invalid UTF-8, no-main-block, a
 byte-duplicate payload under two urls, and a zero-text-object PDF.
@@ -37,7 +39,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -362,6 +364,157 @@ def _pdf_page_v3(rng: random.Random, vocab: List[str], n_lines: int) -> bytes:
     )
 
 
+def _png_forward_filter(data: bytes, columns: int, rng: random.Random) -> bytes:
+    """Forward-apply PNG row filters (bpp=1: each row = filter byte +
+    columns filtered bytes) so the kernel's /Predictor 12 de-prediction
+    has something real to undo. Rotates filter type None/Sub/Up per row
+    (real xref-stream writers emit mostly Up) — independent encoder twin
+    of kernel _depredict, never shared code."""
+    assert len(data) % columns == 0
+    out = bytearray()
+    prev = bytes(columns)
+    for r0 in range(0, len(data), columns):
+        row = data[r0 : r0 + columns]
+        ftype = rng.choice((0, 1, 2, 2))
+        out.append(ftype)
+        if ftype == 0:
+            out += row
+        elif ftype == 1:  # Sub (bpp=1: left neighbor)
+            out += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(columns))
+        else:  # Up
+            out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def _pdf_page_v4(
+    rng: random.Random, vocab: List[str], n_lines: int, packed: bool = True
+) -> bytes:
+    """MODERN (PDF 1.5+) file structure: every non-stream object — pages
+    node, page dict, font dicts, the indirect resources dict — lives
+    zlib-packed inside a ``/Type /ObjStm`` object stream, and the file
+    carries a real ``/Type /XRef`` cross-reference STREAM (W [1 2 1],
+    type-2 entries pointing packed objects at their (objstm, index) slot,
+    type-1 entries with true byte offsets, Flate + PNG /Predictor 12 /Up)
+    instead of a classic xref table — the dominant post-2005 layout that
+    a flat `N 0 obj` scan alone extracts nothing from. Half the ObjStms
+    additionally ship predictor'd (/Predictor 12, rotating None/Sub/Up
+    row filters) so de-prediction is exercised on the load-bearing path,
+    not just the xref. Content keeps a /ToUnicode CMap font (+3
+    byte-shift, v3-style) so CMap resolution composes with ObjStm
+    unpacking. ``packed=False`` emits the byte-equivalent FLAT layout of
+    the same draws — the test twin for the byte-identity gate."""
+    import zlib
+
+    en = _BASE_VOCAB["en"]
+
+    def enc_line() -> str:
+        t = _sentence(rng, en, rng.randint(4, 9)).replace("Y", "Z")
+        return "".join(chr(ord(c) + 3) for c in t)
+
+    def plain_line() -> str:
+        return _sentence(rng, vocab, rng.randint(4, 9)).replace("(", "").replace(")", "")
+
+    body = [
+        "BT /F1 10 Tf 72 760 Td (Running Header) Tj ET",
+        "BT /F1 8 Tf 72 40 Td (page 1) Tj ET",
+        f"BT /F1 18 Tf 72 748 Td ({plain_line()}) Tj ET",
+    ]
+    y = 700
+    for k in range(max(4, n_lines)):
+        if k % 3 == 2:
+            body.append(f"BT /F7 12 Tf 72 {y} Td ({enc_line()}) Tj ET")
+        else:
+            body.append(f"BT /F1 12 Tf 72 {y} Td ({plain_line()}) Tj ET")
+        y -= 40 if rng.random() < 0.2 else 14
+        if y <= 60:
+            break
+    content = "\n".join(body).encode("utf-8")
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfrange\n<23> <7D> <0020>\nendbfrange\nendcmap\n"
+    )
+    # non-stream objects — these get packed into the ObjStm
+    dict_objs = [
+        (1, b"<</Type /Pages /Kids [2 0 R]>>"),
+        (2, b"<</Type /Page /Resources 8 0 R /Contents 3 0 R>>"),
+        (5, b"<</Type /Font /Subtype /Type1>>"),
+        (6, b"<</Type /Font /ToUnicode 7 0 R>>"),
+        (8, b"<</Font <</F1 5 0 R /F7 6 0 R>>>>"),
+    ]
+    content_obj = (
+        b"3 0 obj\n<</Length " + str(len(content)).encode("ascii") + b">>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+    )
+    cmap_obj = (
+        b"7 0 obj\n<</Length " + str(len(cmap)).encode("ascii") + b">>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
+    )
+    use_predictor = rng.random() < 0.5  # drawn in BOTH layouts: same rng tape
+    if not packed:
+        flat = b"%PDF-1.5\n"
+        for num, dbody in dict_objs:
+            flat += str(num).encode("ascii") + b" 0 obj\n" + dbody + b"\nendobj\n"
+        return flat + content_obj + cmap_obj + b"%%EOF\n"
+    # --- ObjStm: "num offset" pairs header, then bodies at /First+offset
+    offsets, bodies, pos = [], [], 0
+    for num, dbody in dict_objs:
+        offsets.append((num, pos))
+        bodies.append(dbody)
+        pos += len(dbody) + 1
+    hdr = b" ".join(b"%d %d" % (num, off) for num, off in offsets)
+    stm_data = hdr + b"\n" + b"\n".join(bodies) + b"\n"
+    if use_predictor:
+        cols = 16
+        if len(stm_data) % cols:
+            stm_data += b" " * (cols - len(stm_data) % cols)  # pad: trailing ws after last body is inert
+        comp = zlib.compress(_png_forward_filter(stm_data, cols, rng))
+        parms = b" /DecodeParms <</Predictor 12 /Columns %d>>" % cols
+    else:
+        comp = zlib.compress(stm_data)
+        parms = b""
+    objstm = (
+        b"9 0 obj\n<</Type /ObjStm /N %d /First %d /Filter /FlateDecode%s /Length %d>>\nstream\n"
+        % (len(dict_objs), len(hdr) + 1, parms, len(comp))
+        + comp + b"\nendstream\nendobj\n"
+    )
+    head = b"%PDF-1.5\n"
+    off_objstm = len(head)
+    off_content = off_objstm + len(objstm)
+    off_cmap = off_content + len(content_obj)
+    off_xref = off_cmap + len(cmap_obj)
+    # --- xref STREAM (§7.5.8): W [1 2 1]; type-2 rows for packed objects
+    # (field2 = objstm number, field3 = index within), type-1 rows with
+    # the true byte offsets for top-level objects; Flate + Predictor 12
+    # (Up rows) exactly as real writers emit it
+    top_level = {3: off_content, 7: off_cmap, 9: off_objstm, 10: off_xref}
+    rows = [(0, 0, 65535, 0)]  # obj 0: the free-list head
+    for idx, (num, _) in enumerate(dict_objs):
+        rows.append((num, 2, 9, idx))
+    for num, off in sorted(top_level.items()):
+        rows.append((num, 1, off, 0))
+    rows.sort()
+    size = rows[-1][0] + 1
+    raw = b"".join(
+        bytes((t,)) + f2.to_bytes(2, "big") + bytes((f3,)) for _, t, f2, f3 in rows
+    )
+    xrng = random.Random(rng.randrange(1 << 30))
+    xcomp = zlib.compress(_png_forward_filter(raw, 4, xrng))
+    # /Index: one subsection per row since object numbers are sparse
+    index = b" ".join(b"%d 1" % n for n, *_ in rows)
+    xref_obj = (
+        b"10 0 obj\n<</Type /XRef /Size %d /Index [%s] /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms <</Predictor 12 /Columns 4>> /Length %d>>\nstream\n"
+        % (size, index, len(xcomp))
+        + xcomp + b"\nendstream\nendobj\n"
+    )
+    return (
+        head + objstm + content_obj + cmap_obj + xref_obj
+        + b"startxref\n%d\n%%%%EOF\n" % off_xref
+    )
+
+
 _EDGE_CASES = [
     ("empty", b""),
     ("whitespace", b"   \n\t  \n"),
@@ -404,12 +557,14 @@ def generate_rows(n_docs: int, seed: int = 42) -> Iterator[dict]:
             n_paras = rng.randint(20, 60)
         if rng.random() < 0.10:
             kind = rng.random()
-            if kind < 0.4:
+            if kind < 0.3:
                 payload = _pdf_page(rng, vocab, max(4, n_paras))
-            elif kind < 0.8:
+            elif kind < 0.6:
                 payload = _pdf_page_v2(rng, vocab, max(4, n_paras))
-            else:
+            elif kind < 0.8:
                 payload = _pdf_page_v3(rng, vocab, max(4, n_paras))
+            else:
+                payload = _pdf_page_v4(rng, vocab, max(4, n_paras))
         else:
             payload, _ = _html_page(rng, vocab, n_paras)
         yield _row(rng, i, payload, lang=lang, tag=None)

@@ -649,3 +649,179 @@ def test_ascii85_stream():
         + b" /Filter /ASCII85Decode>>\nstream\n" + enc + b"\nendstream\nendobj\n",
     )
     assert extract_pdf(payload)[0] == "ascii85 encoded page"
+
+
+# --- modern PDF structure: object streams + /Predictor (corpus v8) ------
+
+
+def _objstm_doc(content: bytes, predictor: bool) -> bytes:
+    """Minimal PDF 1.5 layout: pages node + page dict packed in a
+    /Type /ObjStm, content stream top-level; optionally the ObjStm ships
+    Flate + PNG /Predictor 12 (forward-filtered here independently of the
+    kernel's _depredict)."""
+    import zlib
+
+    o1 = b"<</Type /Pages /Kids [2 0 R]>>"
+    o2 = b"<</Type /Page /Contents 3 0 R>>"
+    hdr = b"1 0 2 %d" % (len(o1) + 1)
+    data = hdr + b"\n" + o1 + b"\n" + o2 + b"\n"
+    parms = b""
+    if predictor:
+        cols = 8
+        if len(data) % cols:
+            data += b" " * (cols - len(data) % cols)
+        filtered = bytearray()
+        prev = bytes(cols)
+        for r0 in range(0, len(data), cols):  # all-Up rows, the xref norm
+            row = data[r0 : r0 + cols]
+            filtered.append(2)
+            filtered += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+            prev = row
+        comp = zlib.compress(bytes(filtered))
+        parms = b" /DecodeParms <</Predictor 12 /Columns 8>>"
+    else:
+        comp = zlib.compress(data)
+    return (
+        b"%PDF-1.5\n"
+        + b"9 0 obj\n<</Type /ObjStm /N 2 /First %d /Filter /FlateDecode%s /Length %d>>\nstream\n"
+        % (len(hdr) + 1, parms, len(comp))
+        + comp + b"\nendstream\nendobj\n"
+        + b"3 0 obj\n<</Length %d>>\nstream\n" % len(content)
+        + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_object_stream_unpacked():
+    content = obj(72, 700, "body text lives behind an object stream").encode()
+    for predictor in (False, True):
+        text, spans = extract_pdf(_objstm_doc(content, predictor))
+        assert text == "body text lives behind an object stream", predictor
+
+
+def test_objstm_flat_twin_byte_identity():
+    """Corpus v4 variant: the ObjStm-packed layout extracts byte-identical
+    text+spans to its flat twin built from the same rng draws (incl. the
+    /ToUnicode CMap font composing with ObjStm unpacking)."""
+    import random
+
+    from document_ai_spark.sources.pages import _BASE_VOCAB, _pdf_page_v4
+
+    for s in range(25):
+        flat = _pdf_page_v4(random.Random(s), _BASE_VOCAB["en"], 8, packed=False)
+        packed = _pdf_page_v4(random.Random(s), _BASE_VOCAB["en"], 8)
+        assert not packed.startswith(flat)  # genuinely different layouts
+        assert extract_pdf(packed) == extract_pdf(flat)
+        assert len(extract_pdf(packed)[0]) > 50
+
+
+def test_xref_stream_scanned_over():
+    """A /Type /XRef cross-reference stream (predictor'd binary) must not
+    disturb extraction — the scan-based kernel never needs its offsets."""
+    import random
+
+    from document_ai_spark.sources.pages import _BASE_VOCAB, _pdf_page_v4
+
+    payload = _pdf_page_v4(random.Random(3), _BASE_VOCAB["en"], 6)
+    assert b"/Type /XRef" in payload and b"startxref" in payload
+    text, _ = extract_pdf(payload)
+    assert len(text) > 50 and "XRef" not in text
+
+
+def test_predictor_roundtrip_fuzz():
+    """PNG predictors 10..15 (rotating row filters incl. Average/Paeth via
+    the media-kernel unfilter) and TIFF predictor 2 round-trip through
+    _decode_filters for random geometries; ragged input isolates to b''."""
+    import random
+    import zlib
+
+    from document_ai_spark.kernel.pdf_extract import _decode_filters
+
+    rng = random.Random(99)
+    for _ in range(150):
+        cols = rng.randrange(1, 20)
+        nrows = rng.randrange(1, 30)
+        data = bytes(rng.randrange(256) for _ in range(cols * nrows))
+        filtered = bytearray()
+        prev = bytes(cols)
+        for r0 in range(0, len(data), cols):
+            row = data[r0 : r0 + cols]
+            ft = rng.choice((0, 1, 2))
+            filtered.append(ft)
+            if ft == 0:
+                filtered += row
+            elif ft == 1:
+                filtered += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(cols))
+            else:
+                filtered += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+            prev = row
+        head = (
+            b"<</Filter /FlateDecode /DecodeParms <</Predictor 12 /Columns %d>> /Length 0>>"
+            % cols
+        )
+        assert _decode_filters(head, zlib.compress(bytes(filtered))) == data
+    # TIFF predictor 2, multi-component
+    for _ in range(50):
+        cols, colors, nrows = rng.randrange(1, 12), rng.randrange(1, 4), rng.randrange(1, 20)
+        data = bytes(rng.randrange(256) for _ in range(cols * colors * nrows))
+        out = bytearray()
+        for r0 in range(0, len(data), cols * colors):
+            row = bytearray(data[r0 : r0 + cols * colors])
+            for i in range(len(row) - 1, colors - 1, -1):
+                row[i] = (row[i] - row[i - colors]) & 0xFF
+            out += row
+        head = (
+            b"<</Filter /FlateDecode /DecodeParms <</Predictor 2 /Columns %d /Colors %d>> /Length 0>>"
+            % (cols, colors)
+        )
+        assert _decode_filters(head, zlib.compress(bytes(out))) == data
+    # ragged rows isolate, never throw
+    bad = zlib.compress(b"\x02" + b"x" * 5)
+    head = b"<</Filter /FlateDecode /DecodeParms <</Predictor 12 /Columns 9>>>>"
+    assert _decode_filters(head, bad) == b""
+
+
+def test_malformed_objstm_isolated():
+    """Garbage /N //First, non-integer header, truncated data: the object
+    stream contributes nothing but the document still extracts the
+    objects it can see."""
+    import zlib
+
+    content = obj(72, 700, "visible despite broken objstm").encode()
+    pages = (
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n"
+        b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
+    )
+    for stm in (
+        b"<</Type /ObjStm /N 2 /First 9999 /Filter /FlateDecode /Length %d>>\nstream\n%s\nendstream\n"
+        % (len(zlib.compress(b"1 0 2 5\nxx yy")), zlib.compress(b"1 0 2 5\nxx yy")),
+        b"<</Type /ObjStm /N 2 /Filter /FlateDecode /Length 5>>\nstream\nAAAAA\nendstream\n",
+        b"<</Type /ObjStm /N 2 /First 10 /Length 3>>\nstream\nnot an int header\nendstream\n",
+    ):
+        payload = (
+            b"%PDF-1.5\n" + pages + b"8 0 obj\n" + stm + b"endobj\n"
+            + b"3 0 obj\n<</Length %d>>\nstream\n" % len(content)
+            + content + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert extract_pdf(payload)[0] == "visible despite broken objstm"
+
+
+def test_objstm_does_not_shadow_direct_definition():
+    """Incremental-update precedence: a top-level `N 0 obj` wins over a
+    same-numbered object packed in an ObjStm."""
+    import zlib
+
+    good = obj(72, 700, "direct definition wins").encode()
+    o1 = b"<</Type /Pages /Kids [2 0 R]>>"
+    o2 = b"<</Type /Page /Contents 4 0 R>>"  # packed page points elsewhere
+    hdr = b"1 0 2 %d" % (len(o1) + 1)
+    comp = zlib.compress(hdr + b"\n" + o1 + b"\n" + o2 + b"\n")
+    payload = (
+        b"%PDF-1.5\n"
+        + b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
+        + b"9 0 obj\n<</Type /ObjStm /N 2 /First %d /Filter /FlateDecode /Length %d>>\nstream\n"
+        % (len(hdr) + 1, len(comp))
+        + comp + b"\nendstream\nendobj\n"
+        + b"3 0 obj\n<</Length %d>>\nstream\n" % len(good)
+        + good + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf(payload)[0] == "direct definition wins"
