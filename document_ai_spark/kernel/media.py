@@ -11,6 +11,9 @@ Scope (documented):
     2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline
     filters (None/Sub/Up/Average/Paeth); non-interlaced only (Adam7
     raises ValueError -> caller isolates).
+  * JPEG (ISO/IEC 10918-1, kernel/jpeg.py — re-exported here): baseline
+    sequential DCT, 1..4 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
+    restart intervals; progressive raises ValueError.
   * BMP: BITMAPINFOHEADER, uncompressed 24-bit BGR, bottom-up or
     top-down.
   * WAV: whatever ``wave`` accepts (PCM), decoded to mono int16.
@@ -32,6 +35,12 @@ from typing import List, Tuple
 
 import numpy as np
 
+from document_ai_spark.kernel.jpeg import (  # noqa: F401  (re-export)
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_420,
+)
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # ITU-R BT.601 luma weights in integer form (deterministic; no float
@@ -42,6 +51,8 @@ _LUMA_R, _LUMA_G, _LUMA_B = 299, 587, 114
 def sniff_media(payload: bytes) -> str:
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -10,14 +10,16 @@ extraction stage. Two decode paths:
     SQL-reproducible — the q24 oracle recomputes them in DuckDB), so
     schema, partitioning, UDF signature and batch shape are gated even
     where no codec exists.
-  * ``decode_stub=False``: REAL decoding for the formats pure stdlib can
-    handle — PNG (zlib inflate + scanline unfilter), uncompressed 24-bit
+  * ``decode_stub=False``: REAL decoding for the formats pure
+    stdlib+numpy can handle — PNG (zlib inflate + scanline unfilter),
+    baseline JPEG (huffman + IDCT, kernel/jpeg.py), uncompressed 24-bit
     BMP, and 16-bit PCM WAV (kernel/media.py; no PIL/ffmpeg needed) —
     emitting true dimensions / duration and luminance/amplitude
     histogram features. Formats that genuinely need an external codec
-    (JPEG/MP4/...) sniff as 'unknown' and yield a null-feature row
-    (per-payload isolation, same contract as the extraction kernel);
-    that row is exactly where PIL/ffmpeg would plug in.
+    (MP4/WebP/progressive JPEG/...) sniff as 'unknown' (or isolate via
+    ValueError) and yield a null-feature row (per-payload isolation,
+    same contract as the extraction kernel); that row is exactly where
+    PIL/ffmpeg would plug in.
 """
 
 from __future__ import annotations
@@ -101,6 +103,9 @@ def media_features(
         try:
             if kind == "png":
                 w, h, gray = M.decode_png(b)
+                return kind, w, h, 0, M.image_features(gray)
+            if kind == "jpeg":
+                w, h, gray = M.decode_jpeg(b)
                 return kind, w, h, 0, M.image_features(gray)
             if kind == "bmp":
                 w, h, gray = M.decode_bmp(b)

@@ -12,8 +12,11 @@ from document_ai_spark.kernel.media import (
     audio_features,
     decode_bmp,
     decode_png,
+    decode_jpeg,
     decode_wav,
     encode_bmp,
+    encode_jpeg,
+    encode_jpeg_420,
     encode_png,
     encode_wav,
     image_features,
@@ -49,7 +52,9 @@ def test_sniff():
     assert sniff_media(encode_png(_grad())) == "png"
     assert sniff_media(encode_bmp(_grad())) == "bmp"
     assert sniff_media(encode_wav(np.zeros(10, dtype=np.int16))) == "wav"
-    assert sniff_media(b"\xff\xd8\xff\xe0jpeg-ish") == "unknown"
+    assert sniff_media(b"\xff\xd8\xff\xe0jpeg-ish") == "jpeg"
+    assert sniff_media(encode_jpeg(_grad())) == "jpeg"
+    assert sniff_media(b"GIF89a....") == "unknown"
 
 
 def test_png_roundtrip_gray():
@@ -186,6 +191,73 @@ def test_decoders_raise_only_valueerror():
         decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunkjunk")
 
 
+def test_jpeg_roundtrip_gray_close():
+    # JPEG is lossy; at q95 a smooth gradient must come back within a few
+    # quantization levels, with exact dimensions (odd sizes -> block pad)
+    img = _grad(13, 21)
+    payload = encode_jpeg(img, quality=95)
+    w, h, gray = decode_jpeg(payload)
+    assert (w, h) == (21, 13) and gray.shape == (13, 21)
+    err = np.abs(gray.astype(np.int64) - img.astype(np.int64))
+    assert err.max() <= 8 and err.mean() < 3.0
+
+
+def test_jpeg_determinism_and_quality_monotone():
+    img = _grad(16, 16)
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85)  # byte-determinism
+    lo = np.abs(decode_jpeg(encode_jpeg(img, 30))[2].astype(int) - img.astype(int))
+    hi = np.abs(decode_jpeg(encode_jpeg(img, 95))[2].astype(int) - img.astype(int))
+    assert hi.mean() <= lo.mean()  # higher quality -> no worse reconstruction
+
+
+def test_jpeg_420_container_matches_grayscale():
+    # same pixels through the 3-component 4:2:0 MCU-interleaved container
+    # (16x16 MCUs, neutral chroma) decode to the same luminance plane as
+    # the 1-component encoding — the chroma blocks only advance the stream
+    img = _grad(19, 23)  # odd dims: MCU padding on both axes
+    w1, h1, g1 = decode_jpeg(encode_jpeg(img, quality=90))
+    w3, h3, g3 = decode_jpeg(encode_jpeg_420(img, quality=90))
+    assert (w1, h1) == (w3, h3) == (23, 19)
+    assert np.array_equal(g1, g3)
+
+
+def test_jpeg_restart_interval_identical_pixels():
+    # DRI changes entropy framing (RSTn + predictor resets) but not the
+    # dequantized coefficients -> decoded array must be EXACTLY equal
+    img = _grad(33, 40)  # 3x3 MCU grid: restarts fire mid-row and mid-column
+    base = decode_jpeg(encode_jpeg_420(img, quality=85, restart_interval=0))[2]
+    for ri in (1, 2, 5):
+        got = decode_jpeg(encode_jpeg_420(img, quality=85, restart_interval=ri))[2]
+        assert np.array_equal(base, got)
+
+
+def test_jpeg_rejects_progressive_and_truncated():
+    img = _grad(8, 8)
+    payload = bytearray(encode_jpeg(img))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+    good = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0nonsense")
+
+
+def test_jpeg_mutation_totality():
+    # total-with-ValueError: byte-flip every position of a small payload;
+    # decode either succeeds or raises exactly ValueError — never crashes
+    payload = bytearray(encode_jpeg(_grad(9, 9), quality=70))
+    for i in range(len(payload)):
+        mutated = bytes(payload[:i]) + bytes((payload[i] ^ 0x5A,)) + bytes(payload[i + 1 :])
+        try:
+            w, h, gray = decode_jpeg(mutated)
+            assert gray.dtype == np.uint8 and gray.shape == (h, w)
+        except ValueError:
+            pass
+
+
 def test_oversize_dimensions_rejected():
     ihdr = struct.pack(">IIBBBBB", 8000, 8000, 8, 6, 0, 0, 0)  # 64M px RGBA
     payload = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(
@@ -218,8 +290,11 @@ def test_media_features_real_decode_path(spark):
         (1, bytearray(encode_png(img))),
         (2, bytearray(encode_bmp(img))),
         (3, bytearray(encode_wav(wav, rate=8000))),
-        (4, bytearray(b"\xff\xd8\xffjpeg-not-supported")),
+        (4, bytearray(b"\xff\xd8\xffjpeg-truncated-garbage")),
         (5, bytearray(PNG_MAGIC + b"corrupt")),
+        (6, bytearray(encode_jpeg(img, quality=95))),
+        (7, bytearray(encode_jpeg_420(img, quality=95))),
+        (8, bytearray(b"GIF89a; no codec here")),
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r for r in media_features(df, decode_stub=False).collect()}
@@ -229,6 +304,11 @@ def test_media_features_real_decode_path(spark):
     assert got[3].features is not None and len(got[3].features) == 16
     # png and bmp of the SAME image agree on luminance features
     assert got[1].features == got[2].features
-    # unknown codec + corrupt payload isolate to null-feature rows
-    assert got[4].media_type == "unknown" and got[4].features is None
+    # real JPEG decodes in BOTH container shapes with true dimensions
+    assert got[6].media_type == "jpeg" and (got[6].width, got[6].height) == (10, 8)
+    assert got[7].media_type == "jpeg" and (got[7].width, got[7].height) == (10, 8)
+    assert got[6].features is not None and len(got[6].features) == 16
+    # unknown codec + corrupt payloads isolate to null-feature rows
+    assert got[4].media_type == "jpeg" and got[4].features is None
     assert got[5].media_type == "png" and got[5].features is None
+    assert got[8].media_type == "unknown" and got[8].features is None
