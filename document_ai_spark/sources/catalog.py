@@ -74,6 +74,26 @@ class Catalog:
             out = df.withColumn(day_col, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
         out.write.mode(mode).partitionBy(day_col).parquet(ident)
 
+    def write_partitioned(
+        self, df: DataFrame, table: str, partition_cols: list, mode: str = "overwrite"
+    ) -> None:
+        """Identity-partitioned write: one directory (Parquet) / identity
+        transform (Iceberg) per distinct value of ``partition_cols``. The
+        layout probe reads prune on — `filter(col.isin(...))` over such a
+        table touches only the matching directories (PartitionFilters at
+        the scan, no data files opened elsewhere). Used by the ANN index
+        tables (operators/ann_index.py) where the cluster/sketch id is the
+        partition column."""
+        ident = self.identifier(table)
+        if self.iceberg:
+            w = df.writeTo(ident).partitionedBy(*[F.col(c) for c in partition_cols])
+            if mode == "overwrite":
+                w.createOrReplace()
+            else:
+                w.append() if self.spark.catalog.tableExists(ident) else w.create()
+            return
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(ident)
+
     def append(self, df: DataFrame, table: str) -> None:
         ident = self.identifier(table)
         if self.iceberg:
