@@ -848,6 +848,72 @@ def q49_ivf_indexed_pruned_probe(spark, sf_dir):
     return ivf_topk_indexed(cat, "emb_ivf", qv, cents, k=7, nprobe=len(cents))
 
 
+def q50_sessionize_watermarked(spark, sf_dir):
+    """EVENT-TIME WATERMARK sessionization (round-4): the events table is
+    staged as THREE mtime-ordered files with genuine bounded cross-batch
+    disorder — even-numbered events from each time-third's first 30
+    minutes are PROMOTED into the previous file, so the following batch
+    delivers their neighbors late (<= ~30 min lateness, inside the 2 h
+    watermark delay; nothing is dropped). The old NoTimeout operator's
+    ordering precondition is violated by construction; the watermarked
+    operator (streaming/sessionize.py sessionize_stream_watermark_fn)
+    buffers in state, finalizes by watermark, and the sentinel flush
+    drains — so the emitted sessions must equal the batch sessionization
+    EXACTLY (oracle = q29's SQL minus session_id)."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from document_ai_spark.streaming.sessionize import (
+        run_sessionize_stream_watermarked,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_third", ((F.col("_rn") - 1) * 3 / F.lit(n)).cast("int")
+    )
+    tmin = Window.partitionBy("_third")
+    staged = ranked.withColumn("_tmin", F.min("ts").over(tmin)).withColumn(
+        "_file",
+        F.when(
+            (F.col("_third") > 0)
+            & (F.col("event_id") % 2 == 0)
+            & (F.unix_timestamp("ts") - F.unix_timestamp("_tmin") < 1800),
+            F.col("_third") - 1,
+        ).otherwise(F.col("_third")),
+    )
+    tmp = tempfile.mkdtemp(prefix="da_stream_q50_")
+    now = time.time()
+    for k in range(3):
+        part_dir = tempfile.mkdtemp(prefix="q50_part_")
+        staged.filter(F.col("_file") == k).drop(
+            "_rn", "_third", "_tmin", "_file"
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dest = os.path.join(tmp, f"batch-{k}.parquet")
+        shutil.copyfile(src, dest)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.utime(dest, (now - 300 + 100 * k, now - 300 + 100 * k))
+    name = "q50_" + _uuid.uuid4().hex[:8]
+    out = run_sessionize_stream_watermarked(
+        spark, tmp, os.path.join(tmp, "_ckpt"), gap_minutes=30, delay="2 hours",
+        query_name=name,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
+
+
 def _q48_media_dir() -> str:
     import tempfile
 
@@ -1083,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_ivf_ann_exact_at_full_probe": q47_ivf_ann_exact_at_full_probe,
         "q48_media_decode_truth": q48_media_decode_truth,
         "q49_ivf_indexed_pruned_probe": q49_ivf_indexed_pruned_probe,
+        "q50_sessionize_watermarked": q50_sessionize_watermarked,
     }
 
 
@@ -1851,6 +1918,28 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({_cosine('e.embedding', 'q.qv')}, 4) AS score
 FROM embeddings e, q
 ORDER BY score DESC, e.vec_id ASC LIMIT 7
+""",
+        # watermarked stream == batch, FULLY (sentinel flush drains): the
+        # out-of-order staging must leave no trace — same sessions, same
+        # boundaries, same sums as plain batch sessionization
+        "q50_sessionize_watermarked": """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+  FROM s
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM g GROUP BY user_id, session_id ORDER BY user_id, session_start
 """,
         # stream == batch-minus-open-tails: the stateful operator must land
         # on exactly the batch sessionization without each user's last

@@ -240,6 +240,229 @@ def sessionize_stream_fn(gap_minutes: int = 30, timeout_ms: int | None = None):
     return fn
 
 
+WM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ev_ts", T.ArrayType(T.DoubleType())),  # epoch seconds
+        T.StructField("ev_val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def sessionize_stream_watermark_fn(gap_minutes: int = 30):
+    """EVENT-TIME-WATERMARKED sessionizer update function — replaces
+    sessionize_stream_fn's cross-batch ordering PRECONDITION with real
+    late-data absorption (round-3 verdict item #5):
+
+      * state BUFFERS the user's pending events (not a folded session),
+        so a late event — arriving out of order ACROSS micro-batches —
+        slots into its true event-time position before any session
+        boundary is decided;
+      * a session is EMITTED only once the watermark proves it final:
+        ``session_end + gap < watermark`` means no future event (all of
+        which have ts >= watermark) can extend or merge it. Emission is
+        therefore in event-time order per user, exactly the batch twin's
+        sessions, regardless of arrival order within the watermark delay;
+      * events older than the watermark itself are dropped (the standard
+        watermark contract — Spark bounds disorder, not unboundedly);
+      * pending events are held under EventTimeTimeout: the timeout
+        timestamp is the earliest instant the oldest pending session can
+        finalize, so a user with no new arrivals still emits as the
+        watermark passes (including in the closing no-data micro-batch).
+
+    State per key is O(events inside the gap+delay horizon), not O(all
+    events): everything older is finalized and evicted each trigger.
+
+    Use with ``withWatermark("ts", ...)`` + ``applyInPandasWithState(fn,
+    SESSION_SCHEMA, WM_STATE_SCHEMA, "append", EventTimeTimeout)`` — see
+    run_sessionize_stream_watermarked."""
+    gap_s = gap_minutes * 60.0
+
+    def fn(key, pdfs, state):
+        user_id = int(key[0])
+        ts_buf: list = []
+        val_buf: list = []
+        if state.exists:
+            s_ts, s_val = state.get
+            ts_buf = list(s_ts)
+            val_buf = list(s_val)
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms / 1000.0
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, val in zip(pdf["ts"], pdf["value"]):
+                    t = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+                    if wm_ms > 0 and t < wm:
+                        continue  # too late: beyond the declared disorder bound
+                    ts_buf.append(t)
+                    val_buf.append(float(val))
+        order = sorted(range(len(ts_buf)), key=lambda i: (ts_buf[i], val_buf[i]))
+        ts_buf = [ts_buf[i] for i in order]
+        val_buf = [val_buf[i] for i in order]
+
+        # sessionize the buffer; emit the prefix of sessions proven final
+        out = []
+        cur_start = 0  # index of first event of the current session
+        keep_from = None  # first buffer index NOT finalized
+        for i in range(1, len(ts_buf) + 1):
+            closes = i == len(ts_buf) or ts_buf[i] - ts_buf[i - 1] > gap_s
+            if not closes:
+                continue
+            end = ts_buf[i - 1]
+            if wm_ms > 0 and end + gap_s < wm:
+                out.append(
+                    (
+                        user_id,
+                        ts_buf[cur_start],
+                        end,
+                        i - cur_start,
+                        sum(val_buf[cur_start:i]),
+                    )
+                )
+            elif keep_from is None:
+                keep_from = cur_start
+            cur_start = i
+        keep_from = len(ts_buf) if keep_from is None else keep_from
+
+        if keep_from < len(ts_buf):
+            state.update((ts_buf[keep_from:], val_buf[keep_from:]))
+            # earliest future finalization: oldest pending session could
+            # close gap_s after its CURRENT tail (a later event may push
+            # this out — the next trigger just re-arms the timeout)
+            tail = ts_buf[keep_from]
+            j = keep_from
+            while j + 1 < len(ts_buf) and ts_buf[j + 1] - ts_buf[j] <= gap_s:
+                j += 1
+            tail = ts_buf[j]
+            fire_ms = int((tail + gap_s) * 1000) + 1
+            state.setTimeoutTimestamp(max(fire_ms, wm_ms + 1))
+        else:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [dt.datetime.utcfromtimestamp(o[1]) for o in out],
+                    "session_end": [dt.datetime.utcfromtimestamp(o[2]) for o in out],
+                    "n_events": [o[3] for o in out],
+                    "sum_value": [round(o[4], 2) for o in out],
+                }
+            )
+
+    return fn
+
+
+FLUSH_USER_ID = -1  # reserved key carried by the sentinel flush event
+
+
+def run_sessionize_stream_watermarked(
+    spark,
+    events_path: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    delay: str = "2 hours",
+    query_name: str = "sessions_wm",
+    max_files_per_trigger: int | None = 1,
+    flush: bool = True,
+) -> DataFrame:
+    """Drive the WATERMARKED sessionizer (availableNow, memory sink):
+    ``withWatermark(ts, delay)`` + EventTimeTimeout. Unlike
+    run_sessionize_stream there is NO cross-batch ordering precondition:
+    arrival order may be arbitrary within ``delay`` (events later than
+    that are dropped — the watermark contract).
+
+    ``flush=True`` (default) appends TWO sentinel far-future events for
+    the reserved key ``FLUSH_USER_ID``, each as its own LAST micro-batch
+    (the key is filtered from the output). Why two: event-time timeouts
+    fire in a batch whose watermark has passed them, and a batch's
+    watermark derives from PREVIOUS batches only; trailing no-data
+    micro-batches — the only other place final timeouts could fire — are
+    not reliably scheduled under availableNow, so emission at termination
+    would be timing-dependent. Sentinel batch 1 runs at watermark
+    ``max(real ts) - delay``; sentinel batch 2 runs at
+    ``sentinel1 - delay`` (far future), firing EVERY remaining timeout.
+    Net contract, deterministically: the emitted sessions are EXACTLY
+    the batch twin's sessions over the non-dropped events — full drain,
+    in event-time order per user. With ``flush=False`` sessions still
+    pending at termination stay in state (resume the checkpoint to
+    continue absorbing arrivals)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch_df = spark.read.parquet(events_path)
+    schema = batch_df.schema
+    if flush:
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+        import time as _time
+
+        # sentinel ts derives from the REAL events only (a rerun over a
+        # dir already holding sentinels must not compound the horizon)
+        max_ts = (
+            batch_df.filter(F.col("user_id") != F.lit(FLUSH_USER_ID))
+            .agg(F.max("ts"))
+            .first()[0]
+        )
+        for n_sentinel in (1, 2):
+            sentinel = spark.createDataFrame(
+                [tuple(None for _ in schema.fields)], schema
+            ).select(
+                *[
+                    F.lit(FLUSH_USER_ID).cast("long").alias("user_id")
+                    if f.name == "user_id"
+                    else F.lit(
+                        max_ts + dt.timedelta(days=3650 * n_sentinel)
+                    ).alias("ts")
+                    if f.name == "ts"
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            # stage as a single FILE inside events_path (a subdirectory
+            # would confuse the flat parquet listing; an _-prefixed path
+            # is hidden from Spark entirely), mtime in the future so the
+            # file source — which orders batches by mtime — runs the
+            # sentinels as the final two batches, in order
+            stage_dir = _tempfile.mkdtemp(prefix="wm_flush_")
+            sentinel.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+            part = _glob.glob(_os.path.join(stage_dir, "part-*.parquet"))[0]
+            dest = _os.path.join(events_path, f"zzz-wm-flush-{n_sentinel}.parquet")
+            _shutil.copyfile(part, dest)
+            _shutil.rmtree(stage_dir, ignore_errors=True)
+            future = _time.time() + 3600 * n_sentinel
+            _os.utime(dest, (future, future))
+        max_files_per_trigger = max_files_per_trigger or 1  # sentinels: own batches
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize_stream_watermark_fn(gap_minutes),
+        SESSION_SCHEMA,
+        WM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}").filter(
+        F.col("user_id") != F.lit(FLUSH_USER_ID)
+    )
+
+
 def run_sessionize_stream(
     spark,
     events_path: str,

@@ -155,6 +155,124 @@ def test_sessionize_stream_out_of_order_batches_absorb_late_events(spark, tmp_pa
     assert r.n_events == 3 and r.sum_value == 7.0
 
 
+def test_sessionize_watermarked_out_of_order_batches_match_batch_twin(spark, tmp_path):
+    """The EVENT-TIME WATERMARK sessionizer (round-4): micro-batches
+    arriving OUT OF EVENT-TIME ORDER — which the NoTimeout fn's documented
+    precondition forbids, and which its absorption rule would answer
+    WRONGLY (the late event below would be merged into the open session
+    instead of forming its own) — must produce exactly the batch twin's
+    sessions for every session the final watermark proves final."""
+    import datetime as dt
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.streaming.sessionize import (
+        run_sessionize_stream_watermarked,
+        sessionize_batch,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+    def ev(eid, uid, minutes, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", value, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = str(tmp_path / "events_src")
+    now = time.time()
+
+    def stage(rows, age):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            st = os.stat(f)
+            if st.st_mtime > now - 1:  # only the newly written file
+                os.utime(f, (now - age, now - age))
+
+    # batch 1: u1 session forming at [200, 210]; u2 in-order at [0, 5]
+    stage([ev(1, 1, 200, 1.0), ev(2, 1, 210, 2.0), ev(3, 2, 0, 1.0), ev(4, 2, 5, 1.0)], 300)
+    # batch 2: u1 LATE event at minute 100 — 110 min older than the open
+    # tail but inside the 2h watermark delay (wm is 210-120=90). It must
+    # become ITS OWN session (gap to 200 is 100 > 30); the old fn would
+    # absorb it into [200,210] and extend session_start backward. Plus an
+    # in-order event extending the open session to 205..210, and a u2
+    # event at 120 arriving out of order relative to u1's batch-1 times.
+    stage([ev(5, 1, 100, 4.0), ev(6, 1, 205, 8.0), ev(7, 2, 120, 2.0)], 200)
+    # batch 3: u1 far-future event — watermark alone would finalize only
+    # the older sessions; the runner's sentinel flush drains the rest
+    stage([ev(8, 1, 400, 16.0)], 100)
+
+    out = run_sessionize_stream_watermarked(
+        spark, src, str(tmp_path / "wm_ckpt"), gap_minutes=30, delay="2 hours",
+        query_name="wm_t", max_files_per_trigger=1,
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+
+    # flush=True contract: EXACTLY the batch twin over the (non-dropped)
+    # events — no event here exceeds the delay, so that is all of them
+    events = spark.read.parquet(src).filter(F.col("user_id") >= 0)
+    batch = sessionize_batch(events, gap_minutes=30)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    # the late event formed its own session — the absorption bug is gone
+    assert (1, t0 + dt.timedelta(minutes=100), t0 + dt.timedelta(minutes=100), 1, 4.0) in got
+    # and the session it could have corrupted has its true boundaries
+    assert (1, t0 + dt.timedelta(minutes=200), t0 + dt.timedelta(minutes=210), 3, 11.0) in got
+    assert len(got) == 5  # u1: [100], [200-210], [400]; u2: [0,5], [120]
+
+
+def test_sessionize_watermarked_drops_events_beyond_delay(spark, tmp_path):
+    """The watermark contract's other half: an event older than the
+    watermark itself (disorder beyond the declared delay) is dropped, not
+    retro-merged into finalized history."""
+    import datetime as dt
+    import glob
+    import os
+    import time
+
+    from document_ai_spark.streaming.sessionize import run_sessionize_stream_watermarked
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+    def ev(eid, minutes, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), 1, "click", value, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = str(tmp_path / "events_src")
+    now = time.time()
+
+    def stage(rows, age):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            st = os.stat(f)
+            if st.st_mtime > now - 1:
+                os.utime(f, (now - age, now - age))
+
+    stage([ev(1, 0, 1.0), ev(2, 300, 2.0)], 300)  # wm after batch 1: 180
+    stage([ev(3, 100, 4.0), ev(4, 310, 8.0)], 200)  # minute-100 event < wm: dropped
+    out = run_sessionize_stream_watermarked(
+        spark, src, str(tmp_path / "wm_ckpt"), gap_minutes=30, delay="2 hours",
+        query_name="wm_drop_t", max_files_per_trigger=1,
+    )
+    got = {
+        (r.session_start, r.session_end, r.n_events, float(r.sum_value))
+        for r in out.collect()
+    }
+    # the minute-100 event (160 min late when wm was already 180) appears
+    # NOWHERE — not absorbed, not its own session; everything else drains
+    assert got == {
+        (t0, t0, 1, 1.0),
+        (t0 + dt.timedelta(minutes=300), t0 + dt.timedelta(minutes=310), 2, 10.0),
+    }
+
+
 def test_sessionize_sharded_equals_single_pass(spark):
     """The two-pass (user, day)-sharded form must produce session-identical
     output to the single-pass window form — incl. sessions straddling
