@@ -917,15 +917,16 @@ def q50_sessionize_watermarked(spark, sf_dir):
 def _q48_media_dir() -> str:
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v2")
+    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v3")
 
 
 def _q48_make_media_corpus(path: str, n: int = 180) -> None:
     """Deterministic media fixtures WITH ground-truth columns: payloads
-    built by the kernel's own encoders (PNG/BMP/WAV/JPEG — the JPEG mix
-    covers both the 1-component grayscale and the dominant 3-component
-    4:2:0 container, some with restart intervals), truth = the encode
-    parameters. No RNG — everything is a formula of media_id."""
+    built by the kernel's own encoders (PNG/BMP/WAV/JPEG — the PNG mix
+    alternates flat and Adam7-interlaced; the JPEG mix covers both the
+    1-component grayscale and the dominant 3-component 4:2:0 container,
+    some with restart intervals), truth = the encode parameters. No RNG —
+    everything is a formula of media_id."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -935,6 +936,7 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
         encode_jpeg,
         encode_jpeg_420,
         encode_png,
+        encode_png_adam7,
         encode_wav,
     )
 
@@ -959,7 +961,9 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
                 np.uint8
             )
             if kind == "png":
-                payloads.append(encode_png(img))
+                payloads.append(
+                    encode_png_adam7(img) if (i // 5) % 2 else encode_png(img)
+                )
             elif kind == "bmp":
                 payloads.append(encode_bmp(img))
             elif i % 5 == 3:  # grayscale baseline container

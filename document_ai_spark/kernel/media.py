@@ -9,8 +9,8 @@ an external codec (JPEG/MP4/...).
 Scope (documented):
   * PNG (RFC 2083 / ISO 15948): 8-bit depth, color types 0 (gray),
     2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline
-    filters (None/Sub/Up/Average/Paeth); non-interlaced only (Adam7
-    raises ValueError -> caller isolates).
+    filters (None/Sub/Up/Average/Paeth); both interlace methods (none
+    and Adam7 seven-pass de-interlacing).
   * JPEG (ISO/IEC 10918-1, kernel/jpeg.py — re-exported here): baseline
     sequential DCT, 1..4 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
     restart intervals; progressive raises ValueError.
@@ -123,6 +123,17 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+# Adam7 pass layout: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
 # sampled-media envelope: 16M px (4096x4096). Above this the per-byte
 # unfilter loop would pin a core for minutes (the CPU analog of a zlib
 # bomb) — exactly the kind of payload the feature stage must isolate,
@@ -170,8 +181,8 @@ def _decode_png_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
         raise ValueError("png: missing IHDR/IDAT")
     if bit_depth != 8:
         raise ValueError(f"png: unsupported bit depth {bit_depth}")
-    if interlace != 0:
-        raise ValueError("png: Adam7 interlace out of scope")
+    if interlace not in (0, 1):
+        raise ValueError(f"png: unknown interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"png: unsupported color type {color_type}")
@@ -179,12 +190,33 @@ def _decode_png_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
         raise ValueError("png: dimensions out of range")
     # inflate BOUNDED by what the declared dimensions can hold — a
     # zlib-bomb IDAT must not balloon memory past the header's claim
-    need = height * (width * channels + 1)
-    d = zlib.decompressobj()
-    raw = d.decompress(b"".join(idat), need)
-    px = np.frombuffer(
-        bytes(_unfilter(raw, width, height, channels)), dtype=np.uint8
-    ).reshape(height, width, channels)
+    if interlace == 0:
+        need = height * (width * channels + 1)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), need)
+        px = np.frombuffer(
+            bytes(_unfilter(raw, width, height, channels)), dtype=np.uint8
+        ).reshape(height, width, channels)
+    else:  # Adam7: seven independently-filtered sub-images
+        passes = [
+            (x0, y0, dx, dy, -(-(width - x0) // dx), -(-(height - y0) // dy))
+            for x0, y0, dx, dy in _ADAM7
+        ]
+        need = sum(ph * (pw * channels + 1) for *_xy, pw, ph in passes if pw and ph)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), need)
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if pw == 0 or ph == 0:
+                continue
+            size = ph * (pw * channels + 1)
+            sub = np.frombuffer(
+                bytes(_unfilter(raw[pos : pos + size], pw, ph, channels)),
+                dtype=np.uint8,
+            ).reshape(ph, pw, channels)
+            px[y0::dy, x0::dx, :] = sub
+            pos += size
     if color_type == 0:
         gray = px[:, :, 0]
     elif color_type == 4:
@@ -226,6 +258,35 @@ def encode_png(gray: np.ndarray) -> bytes:
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(gray: np.ndarray) -> bytes:
+    """2-D uint8 array -> grayscale ADAM7-INTERLACED PNG (filter 0 rows in
+    each of the seven passes) — the encoder twin of the de-interlacing
+    decode path."""
+    h, w = gray.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = gray[y0::dy, x0::dx]
+        for y in range(sub.shape[0]):
+            if sub.shape[1]:
+                raw += b"\x00" + sub[y].tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
 

@@ -18,6 +18,7 @@ from document_ai_spark.kernel.media import (
     encode_jpeg,
     encode_jpeg_420,
     encode_png,
+    encode_png_adam7,
     encode_wav,
     image_features,
     sniff_media,
@@ -128,11 +129,18 @@ def test_png_palette():
 
 def test_png_rejects_unsupported_and_garbage():
     img = _grad(4, 4)
+    # interlace method 1 (Adam7) is SUPPORTED; a hand-built all-zero one
+    # decodes to black, and an undefined method id still rejects
     interlaced = PNG_MAGIC + _chunk(
         b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    ) + _chunk(b"IDAT", zlib.compress(b"\x00" * 23)) + _chunk(b"IEND", b"")
+    w, h, gray = decode_png(interlaced)
+    assert (w, h) == (4, 4) and not gray.any()
+    bogus = PNG_MAGIC + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     ) + _chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError):
-        decode_png(interlaced)
+        decode_png(bogus)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
     # truncated IDAT -> zlib/ValueError, never a hang
@@ -189,6 +197,27 @@ def test_decoders_raise_only_valueerror():
         decode_bmp(b"BM" + b"\x01" * 60)
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunkjunk")
+
+
+def test_png_adam7_roundtrip_identical():
+    # interlacing is a pure byte permutation under filter 0: the Adam7
+    # twin must decode to EXACTLY the source pixels, like the flat twin
+    for h, w in ((12, 17), (1, 1), (3, 2), (8, 8), (9, 10)):
+        img = _grad(h, w)
+        payload = encode_png_adam7(img)
+        gw, gh, gray = decode_png(payload)
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(gray, img)
+        # and agrees with the non-interlaced encoding of the same pixels
+        assert np.array_equal(gray, decode_png(encode_png(img))[2])
+
+
+def test_png_adam7_wrong_interlace_method_rejected():
+    payload = bytearray(encode_png_adam7(_grad()))
+    # IHDR interlace byte is the 13th data byte: 8(sig)+8(len+type)+12
+    payload[16 + 12] = 2  # not a defined interlace method
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
 
 
 def test_jpeg_roundtrip_gray_close():
