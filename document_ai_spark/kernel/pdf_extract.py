@@ -69,10 +69,21 @@ cross-reference streams are scanned over like any other stream object
 and their byte offsets are never needed, which also makes the kernel
 robust to the broken/rebuilt xref tables common in real crawls.
 
-Out of scope (documented): font width metrics (inter-glyph spacing is the
-TJ kerning heuristic only), mixed-width codespaces in one CMap, an
+Also handled (round 4): FONT WIDTH METRICS — simple-font
+``/FirstChar``+``/Widths`` (direct or indirect array, /MissingWidth
+default) and CID ``/W``+``/DW`` — give every shown string its true glyph
+advance: successive show operations position at the previous one's end
+(a within-line cursor, reset by any positioning operator), TJ word
+spaces trigger at HALF THE REAL SPACE GLYPH's width instead of the fixed
+-180 heuristic, and the layout join concatenates same-line items whose
+gap is under JOIN_SPACE_FRAC x size (segmented/tight-tracked writing of
+one word extracts as the word) while a wider gap is a word boundary.
+Fonts without metrics keep every historical behavior bit-identically.
+
+Out of scope (documented): mixed-width codespaces in one CMap, an
 indirect /Font VALUE inside a resources dict, per-filter /DecodeParms
-arrays (the first parms dict applies), and encrypted documents.
+arrays (the first parms dict applies), Tc/Tw/Tz spacing operators, and
+encrypted documents.
 """
 
 from __future__ import annotations
@@ -466,14 +477,126 @@ def _parse_cmap(data: bytes) -> tuple:
     return (width, cmap)
 
 
+# ---------------------------------------------------------------------------
+# font width metrics (PDF 32000-1 §9.6.2 simple /FirstChar+/Widths,
+# §9.7.4.3 CID /W + /DW) — used for REAL inter-glyph advances: successive
+# show operations position at the previous one's end, and word boundaries
+# come from actual gaps instead of the fixed TJ kerning heuristic.
+
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+# simple-font /Widths: direct array (never nested) or an indirect ref to one
+_WIDTHS_RE = re.compile(rb"/Widths\s*(?:\[(.*?)\]|(\d+)\s+\d+\s+R)", re.S)
+_MISSINGW_RE = re.compile(rb"/MissingWidth\s+(\d+(?:\.\d+)?)")
+_FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R")
+_DESCFONT_RE = re.compile(rb"/DescendantFonts\s*\[?\s*(\d+)\s+\d+\s+R")
+_DW_RE = re.compile(rb"/DW\s+(\d+(?:\.\d+)?)")
+_NUM_TOKEN_RE = re.compile(rb"(-?\d+(?:\.\d+)?)|(\[)|(\])")
+_ARRAY_BODY_RE = re.compile(rb"\[(.*?)\]", re.S)
+
+DEFAULT_GLYPH_W = 500.0   # units/1000 em when a code has no declared width
+DEFAULT_SPACE_W = 250.0   # space-glyph width fallback for the TJ decision
+JOIN_SPACE_FRAC = 0.15    # same-line gap > frac*size => word boundary
+
+
+def _parse_cid_w(body: bytes, limit: int = 1 << 16) -> dict:
+    """CID /W array body (inside the outer brackets) -> {cid -> width}.
+    Both §9.7.4.3 forms: ``c [w1 w2 …]`` and ``c_first c_last w``.
+    Budget-capped like the CMap parser."""
+    out: dict = {}
+    pend: List[float] = []
+    in_sub = False
+    sub_start = 0
+    for m in _NUM_TOKEN_RE.finditer(body):
+        if m.group(2):  # [
+            sub_start = int(pend[-1]) if pend else 0
+            pend = []
+            in_sub = True
+        elif m.group(3):  # ]
+            for k, w in enumerate(pend):
+                if len(out) >= limit:
+                    break
+                out[sub_start + k] = w
+            pend = []
+            in_sub = False
+        else:
+            pend.append(float(m.group(1)))
+            if not in_sub and len(pend) == 3:
+                lo, hi, w = pend
+                for c in range(int(lo), min(int(hi), int(lo) + limit) + 1):
+                    if len(out) >= limit:
+                        break
+                    out[c] = w
+                pend = []
+    return out
+
+
+def _font_metrics(fobj: bytes, objs: dict) -> tuple | None:
+    """Font object body -> (width map {code -> units}, default width,
+    space width) or None when the font declares no metrics. Simple fonts:
+    /FirstChar + /Widths (direct or indirect array), missing-code default
+    from the FontDescriptor's /MissingWidth. CID (Type0) fonts: the
+    descendant's /W + /DW. Total: malformed metrics yield None (the font
+    then keeps the heuristic path)."""
+    try:
+        dm = _DESCFONT_RE.search(fobj)
+        if dm:  # Type0 -> descendant CIDFont
+            desc = objs.get(int(dm.group(1)), b"")
+            dwm = _DW_RE.search(desc)
+            dw = float(dwm.group(1)) if dwm else 1000.0
+            wmap: dict = {}
+            wm = re.search(rb"/W\s*\[", desc)
+            if wm:
+                # bracket-balanced scan (sub-arrays nest one level)
+                i = wm.end()
+                depth = 1
+                while i < len(desc) and depth:
+                    if desc[i] == 0x5B:
+                        depth += 1
+                    elif desc[i] == 0x5D:
+                        depth -= 1
+                    i += 1
+                wmap = _parse_cid_w(desc[wm.end() : i - 1])
+            if not wmap and dwm is None:
+                return None
+            return (wmap, dw, min(dw, DEFAULT_SPACE_W))
+        wm = _WIDTHS_RE.search(fobj)
+        if not wm:
+            return None
+        if wm.group(1) is not None:
+            body = wm.group(1)
+        else:
+            am = _ARRAY_BODY_RE.search(objs.get(int(wm.group(2)), b""))
+            if not am:
+                return None
+            body = am.group(1)
+        widths = [
+            float(t[0]) for t in _NUM_TOKEN_RE.findall(body) if t[0]
+        ]
+        if not widths:
+            return None
+        fc_m = _FIRSTCHAR_RE.search(fobj)
+        first = int(fc_m.group(1)) if fc_m else 0
+        default = DEFAULT_GLYPH_W
+        fd = _FONTDESC_RE.search(fobj)
+        if fd:
+            mw = _MISSINGW_RE.search(objs.get(int(fd.group(1)), b""))
+            if mw:
+                default = float(mw.group(1))
+        wmap = {first + i: w for i, w in enumerate(widths)}
+        return (wmap, default, wmap.get(32, DEFAULT_SPACE_W))
+    except Exception:
+        return None
+
+
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 
 
 def _page_fonts(
     body: bytes, objs: dict, cmap_cache: dict, parent_body: bytes = b""
 ) -> dict:
-    """Page object body -> {font name bytes -> cmap} for fonts declaring
-    /ToUnicode. Resolution order (PDF 32000-1 §7.8.3 resource
+    """Page object body -> {font name bytes -> (cmap | None,
+    metrics | None)} for fonts declaring /ToUnicode and/or width metrics
+    (/Widths, CID /W). Resolution order (PDF 32000-1 §7.8.3 resource
     inheritance): inline /Resources<</Font<<...>>>> on the page, then an
     INDIRECT /Resources N 0 R on the page, then the same two forms on the
     parent /Pages node (the dominant real layout: resources declared once
@@ -498,14 +621,17 @@ def _page_fonts(
         fobj = objs.get(int(ref))
         if not fobj:
             continue
+        cmap = None
         tm = _TOUNICODE_RE.search(fobj)
-        if not tm:
-            continue
-        cnum = int(tm.group(1))
-        if cnum not in cmap_cache:
-            cmap_cache[cnum] = _parse_cmap(_stream_bytes(objs.get(cnum, b""), objs))
-        if cmap_cache[cnum][1]:  # (width, map): empty map = stay transparent
-            fonts[name] = cmap_cache[cnum]
+        if tm:
+            cnum = int(tm.group(1))
+            if cnum not in cmap_cache:
+                cmap_cache[cnum] = _parse_cmap(_stream_bytes(objs.get(cnum, b""), objs))
+            if cmap_cache[cnum][1]:  # (width, map): empty map = stay transparent
+                cmap = cmap_cache[cnum]
+        metrics = _font_metrics(fobj, objs)
+        if cmap is not None or metrics is not None:
+            fonts[name] = (cmap, metrics)
     return fonts
 
 
@@ -744,20 +870,41 @@ def _shown_text(raw: bytes, cmap: tuple | None) -> str:
     return "".join(out)
 
 
+def _advance_units(raw: bytes, cmap: tuple | None, metrics: tuple) -> float:
+    """Total glyph advance of a shown string in 1/1000-em units, from the
+    active font's width metrics. 2-byte (CID) codespaces consume the raw
+    bytes pairwise, matching _shown_text."""
+    wmap, dw, _sp = metrics
+    total = 0.0
+    if cmap is not None and cmap[0] == 2:
+        for i in range(0, len(raw) - 1, 2):
+            total += wmap.get((raw[i] << 8) | raw[i + 1], dw)
+        return total
+    for b in raw:
+        total += wmap.get(b, dw)
+    return total
+
+
 def _parse_items(
     stream: bytes, fonts: dict | None = None
-) -> List[Tuple[int, int, int, str]]:
-    """-> list of (x, y, size, text) for every shown string, document order.
+) -> List[Tuple[int, int, int, str, int | None]]:
+    """-> list of (x, y, size, text, x_end) per shown string, document
+    order. ``x_end`` is the baseline position AFTER the string's glyph
+    advances when the active font declares width metrics, else None —
+    the layout stage uses it for gap-based word boundaries.
 
     Merged tokenizer + interpreter: one _TOK_RE match per token, dispatch
     on the matched group index. Semantics are pinned to
     ``_parse_items_reference`` by a fuzz-equivalence test.
 
-    ``fonts``: optional {font name bytes -> (code width, cmap dict)} from
-    the page's /Resources. When the font selected by Tf has a cmap, shown
-    string BYTES are decoded through it (byte- or 2-byte-coded fonts
-    extract real text instead of mojibake); otherwise utf-8
+    ``fonts``: optional {font name bytes -> (cmap | None, metrics | None)}
+    from the page's /Resources. When the font selected by Tf has a cmap,
+    shown string BYTES are decoded through it (byte- or 2-byte-coded
+    fonts extract real text instead of mojibake); otherwise utf-8
     (errors=replace), which is exactly the reference path's behavior.
+    When it has metrics, successive shows ADVANCE a within-line cursor
+    (so segmented writing positions truthfully) and TJ word spaces use
+    the real space-glyph width instead of the fixed -180 heuristic.
 
     The FULL text-line matrix [a b c d e f] is tracked (not just e,f):
     Tm sets it, Td/TD/T*/' compose a translation IN TEXT SPACE (so line
@@ -767,17 +914,19 @@ def _parse_items(
     are bit-identical to the previous e,f-only behavior since hypot(0,1)
     is exactly 1.0.
     """
-    items: List[Tuple[int, int, int, str]] = []
+    items: List[Tuple[int, int, int, str, int | None]] = []
     size = 12.0
     # text line matrix [a b c d e f]; BT resets to identity
     ma, mb, mc, md_, me, mf = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
     leading = 0.0
+    cursor = 0.0  # pts along the baseline since the last positioning op
     nums: List[float] = []       # numeric operand stack
     strs: List[bytes] = []       # string operand stack, RAW bytes (Tj / ')
     arr: List[object] | None = None  # TJ array being collected
     have_fonts = bool(fonts)
     last_name = b""               # most recent /Name operand (Tf font arg)
-    cur_map: tuple | None = None  # active font's (width, cmap) or None
+    cur_map: tuple | None = None  # active font's ToUnicode (width, cmap)
+    cur_metrics: tuple | None = None  # active font's (wmap, default, space_w)
 
     items_append = items.append
     n = len(stream)
@@ -810,53 +959,82 @@ def _parse_items(
                         (arr if arr is not None else nums).append(v)
                         continue
                 # operator: dispatch, then consume all operands
-                if w == b"Tj":
+                if w == b"Tj" or w == b"'":
+                    if w == b"'":
+                        me += -leading * mc
+                        mf += -leading * md_
+                        cursor = 0.0
                     if strs:
-                        t = " ".join(_shown_text(strs[-1], cur_map).split())
-                        if t:
-                            items_append((int(round(me)), int(round(mf)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t))
+                        raw = strs[-1]
+                        t = " ".join(_shown_text(raw, cur_map).split())
+                        if cur_metrics is not None:
+                            x0 = me + cursor * ma
+                            y0 = mf + cursor * mb
+                            cursor += _advance_units(raw, cur_map, cur_metrics) * size / 1000.0
+                            if t:
+                                items_append((int(round(x0)), int(round(y0)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t, int(round(me + cursor * ma))))
+                        elif t:
+                            items_append((int(round(me)), int(round(mf)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t, None))
                 elif w == b"Tm":
                     if len(nums) >= 6:
                         ma, mb, mc, md_, me, mf = nums[-6:]
+                        cursor = 0.0
                 elif w == b"Td" or w == b"TD":
                     if len(nums) >= 2:
                         tx, ty = nums[-2], nums[-1]
                         me += tx * ma + ty * mc
                         mf += tx * mb + ty * md_
+                        cursor = 0.0
                         if w == b"TD":
                             leading = -ty
                 elif w == b"TJ":
                     if arr is not None:
-                        pieces: List[str] = []
-                        for el in arr:
-                            if isinstance(el, bytes):
-                                pieces.append(_shown_text(el, cur_map))
-                            elif el <= TJ_SPACE_THRESHOLD:
-                                pieces.append(" ")
-                        t = " ".join("".join(pieces).split())
-                        if t:
-                            items_append((int(round(me)), int(round(mf)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t))
+                        if cur_metrics is not None:
+                            # metrics path: real glyph advances; a kerning
+                            # shift of at least HALF the space glyph reads
+                            # as a word space (replaces the -180 heuristic)
+                            x0 = me + cursor * ma
+                            y0 = mf + cursor * mb
+                            space_cut = -0.5 * cur_metrics[2]
+                            pieces: List[str] = []
+                            for el in arr:
+                                if isinstance(el, bytes):
+                                    pieces.append(_shown_text(el, cur_map))
+                                    cursor += _advance_units(el, cur_map, cur_metrics) * size / 1000.0
+                                else:
+                                    cursor += -el * size / 1000.0
+                                    if el <= space_cut:
+                                        pieces.append(" ")
+                            t = " ".join("".join(pieces).split())
+                            if t:
+                                items_append((int(round(x0)), int(round(y0)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t, int(round(me + cursor * ma))))
+                        else:
+                            pieces = []
+                            for el in arr:
+                                if isinstance(el, bytes):
+                                    pieces.append(_shown_text(el, cur_map))
+                                elif el <= TJ_SPACE_THRESHOLD:
+                                    pieces.append(" ")
+                            t = " ".join("".join(pieces).split())
+                            if t:
+                                items_append((int(round(me)), int(round(mf)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t, None))
                 elif w == b"Tf":
                     if nums:
                         size = nums[-1]
                     if have_fonts:
-                        cur_map = fonts.get(last_name)
+                        f = fonts.get(last_name)
+                        cur_map, cur_metrics = f if f is not None else (None, None)
                 elif w == b"BT":
                     ma, mb, mc, md_, me, mf = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
                     leading = 0.0
+                    cursor = 0.0
                 elif w == b"TL":
                     if nums:
                         leading = nums[-1]
                 elif w == b"T*":
                     me += -leading * mc
                     mf += -leading * md_
-                elif w == b"'":
-                    me += -leading * mc
-                    mf += -leading * md_
-                    if strs:
-                        t = " ".join(_shown_text(strs[-1], cur_map).split())
-                        if t:
-                            items_append((int(round(me)), int(round(mf)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t))
+                    cursor = 0.0
                 nums = []
                 strs = []
                 arr = None
@@ -880,10 +1058,10 @@ def _parse_items(
     return items
 
 
-def _parse_items_reference(stream: bytes) -> List[Tuple[int, int, int, str]]:
+def _parse_items_reference(stream: bytes) -> List[Tuple[int, int, int, str, "int | None"]]:
     """REFERENCE interpreter over the reference tokenizer — the semantic
     oracle for ``_parse_items`` (fuzz-equivalence-tested, not production)."""
-    items: List[Tuple[int, int, int, str]] = []
+    items: List[Tuple[int, int, int, str, "int | None"]] = []
     size = 12.0
     # full text line matrix [a b c d e f], identical arithmetic (same
     # expression shapes, so bit-identical floats) to the production loop
@@ -896,7 +1074,9 @@ def _parse_items_reference(stream: bytes) -> List[Tuple[int, int, int, str]]:
     def show(text: str) -> None:
         text = " ".join(text.split())
         if text:
-            items.append((int(round(md_e)), int(round(md_f)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), text))
+            # reference path has no font metrics -> x_end always None,
+            # exactly the production loop's fonts=None behavior
+            items.append((int(round(md_e)), int(round(md_f)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), text, None))
 
     def tstar() -> None:
         nonlocal md_e, md_f
@@ -969,11 +1149,11 @@ def _parse_items_reference(stream: bytes) -> List[Tuple[int, int, int, str]]:
 # layout analysis (per page)
 
 
-def _cluster_columns(items: List[Tuple[int, int, int, str]]) -> List[List[Tuple[int, int, int, str]]]:
+def _cluster_columns(items: List[Tuple[int, int, int, str, "int | None"]]) -> List[List[Tuple[int, int, int, str, "int | None"]]]:
     """1-D x-gap region segmentation into columns, left-to-right."""
     if not items:
         return []
-    xs = sorted({x for x, _, _, _ in items})
+    xs = sorted({it[0] for it in items})
     # column boundaries where consecutive unique x differ by > COLUMN_GAP
     col_start = {xs[0]: 0}
     col_id = 0
@@ -982,20 +1162,20 @@ def _cluster_columns(items: List[Tuple[int, int, int, str]]) -> List[List[Tuple[
             col_id += 1
         col_start[cur] = col_id
     ncols = col_id + 1
-    cols: List[List[Tuple[int, int, int, str]]] = [[] for _ in range(ncols)]
+    cols: List[List[Tuple[int, int, int, str, "int | None"]]] = [[] for _ in range(ncols)]
     for it in items:
         cols[col_start[it[0]]].append(it)
     return cols
 
 
 def _column_regions(
-    col: List[Tuple[int, int, int, str]],
-) -> List[List[Tuple[int, int, int, str]]]:
+    col: List[Tuple[int, int, int, str, "int | None"]],
+) -> List[List[Tuple[int, int, int, str, "int | None"]]]:
     """Split one column into paragraph regions (of items) by vertical gaps."""
     # top-to-bottom: y descending; stable tiebreak on x then original text
     lines = sorted(col, key=lambda it: (-it[1], it[0]))
-    regions: List[List[Tuple[int, int, int, str]]] = []
-    cur: List[Tuple[int, int, int, str]] = []
+    regions: List[List[Tuple[int, int, int, str, "int | None"]]] = []
+    cur: List[Tuple[int, int, int, str, "int | None"]] = []
     prev_y = None
     prev_size = None
     for it in lines:
@@ -1018,7 +1198,31 @@ MD_H1_SIZE = 17
 MD_H2_SIZE = 14
 
 
-def _region_md_prefix(region: List[Tuple[int, int, int, str]]) -> str:
+def _region_text(region: List[Tuple[int, int, int, str, "int | None"]]) -> str:
+    """Join a region's items (already in (-y, x) order) into text. With
+    width metrics (x_end known) two same-line items separated by a gap of
+    at most JOIN_SPACE_FRAC x font size CONCATENATE — segmented writing
+    of one word yields the word, not 'wo rd' — and a larger gap is a word
+    space. Without metrics (x_end None) every boundary is a space, the
+    historical behavior."""
+    parts: List[str] = []
+    prev = None
+    for it in region:
+        if prev is not None:
+            if (
+                it[1] == prev[1]
+                and prev[4] is not None
+                and it[0] - prev[4] > JOIN_SPACE_FRAC * max(prev[2], it[2])
+            ):
+                parts.append(" ")
+            elif it[1] != prev[1] or prev[4] is None:
+                parts.append(" ")
+        parts.append(it[3])
+        prev = it
+    return "".join(parts)
+
+
+def _region_md_prefix(region: List[Tuple[int, int, int, str, "int | None"]]) -> str:
     msize = max(it[2] for it in region)
     if msize >= MD_H1_SIZE:
         return "# "
@@ -1049,7 +1253,7 @@ def extract_pdf(payload: bytes, markdown: bool = False) -> Tuple[str, List[dict]
         body = [it for it in items if FOOTER_Y < it[1] < HEADER_Y]
         for ci, col in enumerate(_cluster_columns(body)):
             for ri, region in enumerate(_column_regions(col)):
-                text = " ".join(it[3] for it in region)
+                text = _region_text(region)
                 if markdown:
                     text = _region_md_prefix(region) + text
                 parts.append(text)

@@ -20,7 +20,10 @@ indirect /Length), 20% byte-coded-font pages whose /ToUnicode CMap maps
 +3-shifted bytes back to text, 20% MODERN (PDF 1.5+, corpus v8) files
 whose dict objects all live inside a /Type /ObjStm (half predictor'd:
 Flate + PNG /Predictor 12) with a real /Type /XRef cross-reference
-stream — a Zipf long tail of page sizes with a handful of giant pages
+stream, 15% WIDTH-METRICS pages (corpus v9: /FirstChar+/Widths fonts,
+words written as segmented show ops with positioned — not typed — word
+gaps and sub-180 TJ kern spaces, correct only under real glyph
+advances) — a Zipf long tail of page sizes with a handful of giant pages
 (x100 median — exercises salted repartitioning), and one of each edge case:
 empty, whitespace-only, truncated tags, invalid UTF-8, no-main-block, a
 byte-duplicate payload under two urls, and a zero-text-object PDF.
@@ -39,7 +42,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -515,6 +518,91 @@ def _pdf_page_v4(
     )
 
 
+# v5 width table: space 250, everything else 400..700 by char class —
+# deliberately NON-uniform so exact-abutment positioning only works when
+# the extractor applies the declared metrics
+_V5_WIDTHS = {c: (250 if c == 32 else 400 + (c % 7) * 50) for c in range(32, 127)}
+
+
+def _v5_width_units(text: str) -> int:
+    return sum(_V5_WIDTHS.get(ord(ch), 500) for ch in text)
+
+
+def _pdf_page_v5(rng: random.Random, vocab: List[str], n_lines: int, flat: bool = False) -> bytes:
+    """WIDTH-METRICS PDF (corpus v9): the body font declares
+    /FirstChar 32 + /Widths, and body lines are written the way real
+    tight-setting writers emit text — SEGMENTED:
+
+      * style 1: each word's fragments as successive Tj ops (the cursor
+        must advance by true glyph widths for them to abut), with the
+        NEXT word placed by a Td whose dx = word width + one space width
+        — the space is a POSITIONED GAP, no space glyph exists;
+      * style 2: one TJ array with tight intra-word kerns (-60, -100:
+        below half the 250-unit space glyph => join) and -150 WORD
+        separators — a gap the fixed -180 heuristic misses but the
+        metrics threshold (-125) correctly reads as a space.
+
+    An extractor without width metrics garbles these lines ('wo rd' /
+    'word1word2'); with them the text is byte-identical to the plain
+    writing. ``flat=True`` emits exactly that plain writing from the SAME
+    rng draws — the equality twin pinned by tests."""
+    lines = []
+    for _ in range(max(3, n_lines)):
+        t = _sentence(rng, vocab, rng.randint(4, 9)).replace("(", "").replace(")", "")
+        lines.append((t, rng.randrange(3), rng.random() < 0.2))
+    title = _sentence(rng, vocab, rng.randint(3, 6)).replace("(", "").replace(")", "")
+
+    body = [
+        "BT /F1 10 Tf 72 760 Td (Running Header) Tj ET",
+        "BT /F1 8 Tf 72 40 Td (page 1) Tj ET",
+        f"BT /F1 18 Tf 72 748 Td ({title}) Tj ET",
+    ]
+    y = 700
+    for text, style, big_gap in lines:
+        if flat or style == 0:
+            body.append(f"BT /F1 12 Tf 72 {y} Td ({text}) Tj ET")
+        elif style == 1:
+            ops = [f"BT /F1 12 Tf 72 {y} Td"]
+            words = text.split(" ")
+            for wi, word in enumerate(words):
+                if len(word) >= 4:
+                    mid = len(word) // 2
+                    ops.append(f"({word[:mid]}) Tj ({word[mid:]}) Tj")
+                else:
+                    ops.append(f"({word}) Tj")
+                if wi + 1 < len(words):
+                    dx = (_v5_width_units(word) + 250) * 12 / 1000.0
+                    ops.append(f"{dx:.3f} 0 Td")
+            ops.append("ET")
+            body.append(" ".join(ops))
+        else:
+            els = []
+            for wi, word in enumerate(words := text.split(" ")):
+                if len(word) >= 4:
+                    mid = len(word) // 2
+                    els.append(f"({word[:mid]}) {-60 - (wi % 2) * 40} ({word[mid:]})")
+                else:
+                    els.append(f"({word})")
+                if wi + 1 < len(words):
+                    els.append("-150")
+            body.append(f"BT /F1 12 Tf 72 {y} Td [{' '.join(els)}] TJ ET")
+        y -= 40 if big_gap else 14
+        if y <= 60:
+            break
+    content = "\n".join(body).encode("utf-8")
+    widths = b" ".join(b"%d" % _V5_WIDTHS[c] for c in range(32, 127))
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n"
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F1 4 0 R>>>> /Contents 3 0 R>>\nendobj\n"
+        b"3 0 obj\n<</Length " + str(len(content)).encode("ascii") + b">>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<</Type /Font /Subtype /Type1 /FirstChar 32 /Widths ["
+        + widths + b"]>>\nendobj\n"
+        b"%%EOF\n"
+    )
+
+
 _EDGE_CASES = [
     ("empty", b""),
     ("whitespace", b"   \n\t  \n"),
@@ -557,14 +645,16 @@ def generate_rows(n_docs: int, seed: int = 42) -> Iterator[dict]:
             n_paras = rng.randint(20, 60)
         if rng.random() < 0.10:
             kind = rng.random()
-            if kind < 0.3:
+            if kind < 0.25:
                 payload = _pdf_page(rng, vocab, max(4, n_paras))
-            elif kind < 0.6:
+            elif kind < 0.5:
                 payload = _pdf_page_v2(rng, vocab, max(4, n_paras))
-            elif kind < 0.8:
+            elif kind < 0.65:
                 payload = _pdf_page_v3(rng, vocab, max(4, n_paras))
-            else:
+            elif kind < 0.85:
                 payload = _pdf_page_v4(rng, vocab, max(4, n_paras))
+            else:
+                payload = _pdf_page_v5(rng, vocab, max(4, n_paras))
         else:
             payload, _ = _html_page(rng, vocab, n_paras)
         yield _row(rng, i, payload, lang=lang, tag=None)

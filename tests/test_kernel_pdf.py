@@ -465,7 +465,7 @@ def test_tm_rotation_rotates_line_advance():
     items = _parse_items(
         b"BT /F1 12 Tf 0 1 -1 0 300 400 Tm (first rotated) Tj 0 -14 Td (second rotated) Tj ET"
     )
-    assert items == [(300, 400, 12, "first rotated"), (314, 400, 12, "second rotated")]
+    assert items == [(300, 400, 12, "first rotated", None), (314, 400, 12, "second rotated", None)]
     assert extract_pdf(payload)[0] == "first rotated second rotated"
 
 
@@ -487,7 +487,7 @@ def test_tstar_follows_rotated_leading():
     items = _parse_items(
         b"BT /F1 12 Tf 14 TL 0 1 -1 0 300 400 Tm (a) Tj T* (b) Tj ET"
     )
-    assert items == [(300, 400, 12, "a"), (314, 400, 12, "b")]
+    assert items == [(300, 400, 12, "a", None), (314, 400, 12, "b", None)]
 
 
 def test_pdf_markdown_heading_levels():
@@ -825,3 +825,125 @@ def test_objstm_does_not_shadow_direct_definition():
         + good + b"\nendstream\nendobj\n%%EOF\n"
     )
     assert extract_pdf(payload)[0] == "direct definition wins"
+
+
+# ---------------------------------------------------------------------------
+# font width metrics (/Widths, CID /W): real glyph advances
+
+
+def _widths_doc(content: bytes, font_extra: bytes = b"") -> bytes:
+    # F1: simple font, space=250 units, every other glyph 500 units
+    widths = b" ".join(b"250" if i == 0 else b"500" for i in range(91))
+    return _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F1 4 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\n" + content + b"\nendstream\nendobj\n",
+        b"4 0 obj\n<</Type /Font /Subtype /Type1 /FirstChar 32 /Widths ["
+        + widths + b"]" + font_extra + b">>\nendobj\n",
+    )
+
+
+def test_widths_segmented_writing_concatenates():
+    # size 10: each glyph advances 5 pt. Successive Tj ops and an
+    # exactly-abutting Td restart are ONE word; a 3 pt gap is a space.
+    content = (
+        b"BT /F1 10 Tf 100 700 Td (Hel) Tj (lo) Tj ET\n"        # cursor advance
+        b"BT /F1 10 Tf 100 690 Td (wor) Tj ET\n"
+        b"BT /F1 10 Tf 115 690 Td (ld) Tj ET\n"                  # 115 = 100+3*5
+        b"BT /F1 10 Tf 100 680 Td (Hello) Tj ET\n"
+        b"BT /F1 10 Tf 128 680 Td (world) Tj ET"                 # gap 3 > 1.5
+    )
+    assert extract_pdf(_widths_doc(content))[0] == "Hello world Hello world"
+
+
+def test_widths_without_metrics_keeps_historical_spacing():
+    # same segmented writing, font WITHOUT /Widths: every item boundary
+    # stays a space (the pre-metrics behavior, pinned)
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F1 4 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F1 10 Tf 100 700 Td (Hel) Tj (lo) Tj ET\nendstream\nendobj\n",
+        b"4 0 obj\n<</Type /Font /Subtype /Type1>>\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "Hel lo"
+
+
+def test_widths_tj_space_threshold_uses_space_glyph():
+    # space glyph is 250 units -> kern cut at -125: -150 IS a word space
+    # (the fixed -180 heuristic would have missed it), -100 is kerning
+    content = (
+        b"BT /F1 10 Tf 100 700 Td [(A) -150 (B)] TJ ET\n"
+        b"BT /F1 10 Tf 100 686 Td [(C) -100 (D)] TJ ET"
+    )
+    assert extract_pdf(_widths_doc(content))[0] == "A B CD"
+
+
+def test_widths_tj_kern_moves_cursor():
+    # TJ kern advances the cursor too: next Tj lands exactly at the end
+    # (2 glyphs = 10 pt, minus 100/1000*10 = 1 pt kern -> x_end 109)
+    content = (
+        b"BT /F1 10 Tf 100 700 Td [(ab) -100] TJ ET\n"
+        b"BT /F1 10 Tf 109 700 Td (cd) Tj ET"
+    )
+    assert extract_pdf(_widths_doc(content))[0] == "abcd"
+
+
+def test_widths_indirect_array_and_missing_width():
+    # /Widths as an indirect ref + /MissingWidth from the FontDescriptor:
+    # 'Z' (not covered: FirstChar 97, 1 entry for 'a') advances 800 units
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F1 4 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F1 10 Tf 100 700 Td (Z) Tj (a) Tj ET\nendstream\nendobj\n",
+        b"4 0 obj\n<</Type /Font /FirstChar 97 /Widths 5 0 R /FontDescriptor 6 0 R>>\nendobj\n",
+        b"5 0 obj\n[400]\nendobj\n",
+        b"6 0 obj\n<</Type /FontDescriptor /MissingWidth 800>>\nendobj\n",
+    )
+    from document_ai_spark.kernel.pdf_extract import _parse_items, _split_pages
+
+    (stream, fonts), = _split_pages(payload)
+    items = _parse_items(stream, fonts)
+    # Z: x 100 -> 108 (800 units @ 10); a abuts at 108 -> 112 (400 units)
+    assert items == [(100, 700, 10, "Z", 108), (108, 700, 10, "a", 112)]
+    assert extract_pdf(payload)[0] == "Za"
+
+
+def test_cid_w_widths_two_byte_codes():
+    # CID font: /W [0 [500 600]] /DW 1000, 2-byte ToUnicode codespace.
+    # <00000001> shows "XY" advancing (500+600)/1000*10 = 11 pt; the next
+    # <0000> starts exactly there -> concatenated "XYX"
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0000> <0058>\n<0001> <0059>\nendbfchar\nendcmap\n"
+    )
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F2 4 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F2 10 Tf 100 700 Td <00000001> Tj <0000> Tj ET\nendstream\nendobj\n",
+        b"4 0 obj\n<</Type /Font /Subtype /Type0 /DescendantFonts [9 0 R] /ToUnicode 10 0 R>>\nendobj\n",
+        b"9 0 obj\n<</Subtype /CIDFontType2 /DW 1000 /W [0 [500 600]]>>\nendobj\n",
+        b"10 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+    )
+    from document_ai_spark.kernel.pdf_extract import _parse_items, _split_pages
+
+    (stream, fonts), = _split_pages(payload)
+    items = _parse_items(stream, fonts)
+    assert items == [(100, 700, 10, "XY", 111), (111, 700, 10, "X", 116)]
+    assert extract_pdf(payload)[0] == "XYX"
+
+
+def test_widths_corpus_v5_segmented_equals_flat_twin():
+    # the corpus generator's width-metrics variant: segmented writing
+    # (positioned word gaps, sub-180 TJ kern spaces) must extract
+    # byte-identically to the plain writing of the same rng draws
+    import random
+
+    from document_ai_spark.sources.pages import _BASE_VOCAB, _pdf_page_v5
+
+    for seed in range(12):
+        seg = extract_pdf(_pdf_page_v5(random.Random(seed), _BASE_VOCAB["en"], 8))
+        flat = extract_pdf(
+            _pdf_page_v5(random.Random(seed), _BASE_VOCAB["en"], 8, flat=True)
+        )
+        assert seg[0] == flat[0]
+        assert " " in seg[0]  # the positioned gaps really became spaces
