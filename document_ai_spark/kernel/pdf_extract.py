@@ -80,10 +80,14 @@ gap is under JOIN_SPACE_FRAC x size (segmented/tight-tracked writing of
 one word extracts as the word) while a wider gap is a word boundary.
 Fonts without metrics keep every historical behavior bit-identically.
 
+The Tc (character spacing), Tw (word spacing — single-byte code 32 only,
+§9.3.3) and Tz (horizontal scaling) text-state operators feed the same
+cursor: tx = (w/1000 x Tfs + Tc + Tw) x Th per glyph, so justified text
+(big Tw) and letterspaced text keep truthful positions.
+
 Out of scope (documented): mixed-width codespaces in one CMap, an
 indirect /Font VALUE inside a resources dict, per-filter /DecodeParms
-arrays (the first parms dict applies), Tc/Tw/Tz spacing operators, and
-encrypted documents.
+arrays (the first parms dict applies), and encrypted documents.
 """
 
 from __future__ import annotations
@@ -870,19 +874,26 @@ def _shown_text(raw: bytes, cmap: tuple | None) -> str:
     return "".join(out)
 
 
-def _advance_units(raw: bytes, cmap: tuple | None, metrics: tuple) -> float:
-    """Total glyph advance of a shown string in 1/1000-em units, from the
-    active font's width metrics. 2-byte (CID) codespaces consume the raw
-    bytes pairwise, matching _shown_text."""
+def _advance_units(raw: bytes, cmap: tuple | None, metrics: tuple) -> Tuple[float, int, int]:
+    """(total glyph advance in 1/1000-em units, glyph count, single-byte
+    space-code count) for a shown string, from the active font's width
+    metrics. 2-byte (CID) codespaces consume the raw bytes pairwise,
+    matching _shown_text; word spacing (Tw) applies only to the
+    single-byte code 32 per §9.3.3, so their space count is 0."""
     wmap, dw, _sp = metrics
     total = 0.0
     if cmap is not None and cmap[0] == 2:
+        n = 0
         for i in range(0, len(raw) - 1, 2):
             total += wmap.get((raw[i] << 8) | raw[i + 1], dw)
-        return total
+            n += 1
+        return total, n, 0
+    spaces = 0
     for b in raw:
         total += wmap.get(b, dw)
-    return total
+        if b == 32:
+            spaces += 1
+    return total, len(raw), spaces
 
 
 def _parse_items(
@@ -920,6 +931,9 @@ def _parse_items(
     ma, mb, mc, md_, me, mf = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
     leading = 0.0
     cursor = 0.0  # pts along the baseline since the last positioning op
+    tc = 0.0      # Tc character spacing (pts/glyph)
+    tw = 0.0      # Tw word spacing (pts per single-byte code 32)
+    th = 1.0      # Tz horizontal scaling / 100
     nums: List[float] = []       # numeric operand stack
     strs: List[bytes] = []       # string operand stack, RAW bytes (Tj / ')
     arr: List[object] | None = None  # TJ array being collected
@@ -970,7 +984,8 @@ def _parse_items(
                         if cur_metrics is not None:
                             x0 = me + cursor * ma
                             y0 = mf + cursor * mb
-                            cursor += _advance_units(raw, cur_map, cur_metrics) * size / 1000.0
+                            units, ng, nsp = _advance_units(raw, cur_map, cur_metrics)
+                            cursor += (units * size / 1000.0 + ng * tc + nsp * tw) * th
                             if t:
                                 items_append((int(round(x0)), int(round(y0)), int(round(size * (mb * mb + md_ * md_) ** 0.5)), t, int(round(me + cursor * ma))))
                         elif t:
@@ -1000,9 +1015,10 @@ def _parse_items(
                             for el in arr:
                                 if isinstance(el, bytes):
                                     pieces.append(_shown_text(el, cur_map))
-                                    cursor += _advance_units(el, cur_map, cur_metrics) * size / 1000.0
+                                    units, ng, nsp = _advance_units(el, cur_map, cur_metrics)
+                                    cursor += (units * size / 1000.0 + ng * tc + nsp * tw) * th
                                 else:
-                                    cursor += -el * size / 1000.0
+                                    cursor += -el * size / 1000.0 * th
                                     if el <= space_cut:
                                         pieces.append(" ")
                             t = " ".join("".join(pieces).split())
@@ -1031,6 +1047,15 @@ def _parse_items(
                 elif w == b"TL":
                     if nums:
                         leading = nums[-1]
+                elif w == b"Tc":
+                    if nums:
+                        tc = nums[-1]
+                elif w == b"Tw":
+                    if nums:
+                        tw = nums[-1]
+                elif w == b"Tz":
+                    if nums:
+                        th = nums[-1] / 100.0
                 elif w == b"T*":
                     me += -leading * mc
                     mf += -leading * md_

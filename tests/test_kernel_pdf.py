@@ -947,3 +947,29 @@ def test_widths_corpus_v5_segmented_equals_flat_twin():
         )
         assert seg[0] == flat[0]
         assert " " in seg[0]  # the positioned gaps really became spaces
+
+
+def test_tc_tw_tz_feed_the_cursor():
+    from document_ai_spark.kernel.pdf_extract import _parse_items, _split_pages
+
+    # Tc: 2 pt/glyph letterspacing -> 'ab' advances 2*5 + 2*2 = 14 pt; the
+    # next Tj starts there and abuts
+    content = (
+        b"BT /F1 10 Tf 2 Tc 100 700 Td (ab) Tj (cd) Tj ET\n"
+        # Tw: word spacing widens the space GLYPH's advance: 'a b' = 5
+        # + 2.5 + 8 + 5 = 20.5 -> next fragment abuts at 120.5
+        b"BT /F1 10 Tf 0 Tc 8 Tw 100 686 Td (a b) Tj (c) Tj ET\n"
+        # Tz 200%: doubles every advance -> 'ab' spans 20 pt
+        b"BT /F1 10 Tf 0 Tw 200 Tz 100 672 Td (ab) Tj (cd) Tj ET"
+    )
+    payload = _widths_doc(content)
+    (stream, fonts), = _split_pages(payload)
+    items = _parse_items(stream, fonts)
+    assert items[0] == (100, 700, 10, "ab", 114)
+    assert items[1][0] == 114 and items[1][3] == "cd"  # abuts after Tc
+    assert items[2] == (100, 686, 10, "a b", 120) or items[2] == (100, 686, 10, "a b", 121)
+    assert items[3][0] == items[2][4]  # abuts after Tw-widened space
+    assert items[4] == (100, 672, 10, "ab", 120)  # Tz doubled
+    # all three lines read as single words/phrases, not split
+    text = extract_pdf(payload)[0]
+    assert "abcd" in text and "a bc" in text
