@@ -85,9 +85,14 @@ The Tc (character spacing), Tw (word spacing — single-byte code 32 only,
 cursor: tx = (w/1000 x Tfs + Tc + Tw) x Th per glyph, so justified text
 (big Tw) and letterspaced text keep truthful positions.
 
-Out of scope (documented): mixed-width codespaces in one CMap, an
-indirect /Font VALUE inside a resources dict, per-filter /DecodeParms
-arrays (the first parms dict applies), and encrypted documents.
+ToUnicode CMaps may declare MIXED-WIDTH codespaces (§9.7.6.2 — 1-byte
+ASCII alongside 2-byte CJK ranges, the Shift-JIS-style layout): shown
+bytes are consumed by greedy codespace-range match, mappings are keyed
+(width, code), and metrics/advances follow the same consumption.
+
+Out of scope (documented): an indirect /Font VALUE inside a resources
+dict, per-filter /DecodeParms arrays (the first parms dict applies), and
+encrypted documents.
 """
 
 from __future__ import annotations
@@ -419,18 +424,31 @@ def _utf16be_hex_to_str(h: bytes) -> str:
 
 
 def _parse_cmap(data: bytes) -> tuple:
-    """CMap stream bytes -> (code width in bytes, {source code -> unicode
-    str}). Width comes from the codespacerange (2 hex digits per token =
-    1-byte codes, 4 = 2-byte CID-style codes; default 1). Total: a
-    malformed CMap yields (1, {}) — the font then stays byte-transparent.
-    Range expansion is budget-capped so an adversarial <0000> <FFFF>
-    blanket cannot balloon memory."""
+    """CMap stream bytes -> one of two shapes:
+
+      * UNIFORM codespace (the overwhelming norm): (code width in bytes,
+        {source code -> unicode str}) — width 1 or 2 from the
+        codespacerange hex-digit count, default 1;
+      * MIXED-width codespace (§9.7.6.2: e.g. 1-byte ASCII <00><7F>
+        alongside 2-byte CJK <8140><FFFC>): ('mixed', ((nbytes, lo, hi),
+        ...), {(nbytes, code) -> str}) — _iter_codes consumes the shown
+        bytes greedily by matching codespace range.
+
+    Total: a malformed CMap yields (1, {}) — the font then stays
+    byte-transparent. Range expansion is budget-capped so an adversarial
+    <0000> <FFFF> blanket cannot balloon memory."""
     cmap: dict = {}
     width = 1
     try:
+        ranges: list = []  # (nbytes, lo, hi) per codespacerange pair
         cs = _CODESPACE_RE.search(data)
         if cs:
             hexes = [t[0] for t in _CMAP_TOK_RE.findall(cs.group(1)) if t[0]]
+            for lo_h, hi_h in zip(hexes[0::2], hexes[1::2]):
+                nb = max(1, min(4, (len(lo_h) + 1) // 2))
+                ranges.append((nb, int(lo_h, 16), int(hi_h, 16)))
+            if ranges and len({nb for nb, _, _ in ranges}) > 1:
+                return _parse_cmap_mixed(data, tuple(ranges))
             if hexes and len(hexes[0]) > 2:
                 width = 2
         max_code = (1 << (8 * width)) - 1
@@ -590,6 +608,73 @@ def _font_metrics(fobj: bytes, objs: dict) -> tuple | None:
         return (wmap, default, wmap.get(32, DEFAULT_SPACE_W))
     except Exception:
         return None
+
+
+def _parse_cmap_mixed(data: bytes, ranges: tuple) -> tuple:
+    """The mixed-width arm of _parse_cmap: bfchar/bfrange sources are
+    keyed by (nbytes, code) — 0x41 as a 1-byte code and 0x0041 as a
+    2-byte code are distinct codespace members. Same entry budget."""
+    cmap: dict = {}
+    try:
+        for m in _BFCHAR_RE.finditer(data):
+            hexes = [t[0] for t in _CMAP_TOK_RE.findall(m.group(1)) if t[0]]
+            for src, dst in zip(hexes[0::2], hexes[1::2]):
+                nb = max(1, min(4, (len(src) + 1) // 2))
+                cmap[(nb, int(src, 16))] = _utf16be_hex_to_str(dst)
+        for m in _BFRANGE_RE.finditer(data):
+            toks = _CMAP_TOK_RE.findall(m.group(1))
+            i, n = 0, len(toks)
+            while i < n:
+                if not toks[i][0] or i + 1 >= n or not toks[i + 1][0]:
+                    i += 1
+                    continue
+                nb = max(1, min(4, (len(toks[i][0]) + 1) // 2))
+                lo, hi = int(toks[i][0], 16), int(toks[i + 1][0], 16)
+                i += 2
+                if i < n and toks[i][1]:  # [ <d0> <d1> ... ] array form
+                    i += 1
+                    code = lo
+                    while i < n and not toks[i][2]:
+                        if toks[i][0] and code <= hi:
+                            cmap[(nb, code)] = _utf16be_hex_to_str(toks[i][0])
+                        code += 1
+                        i += 1
+                    i += 1
+                elif i < n and toks[i][0]:  # contiguous form
+                    base = int(toks[i][0], 16)
+                    hi_c = min(hi, lo + _CMAP_MAX_ENTRIES)
+                    for code in range(lo, hi_c + 1):
+                        if len(cmap) > _CMAP_MAX_ENTRIES:
+                            break
+                        v = base + (code - lo)
+                        if 0xD800 <= v <= 0xDFFF:
+                            cmap[(nb, code)] = "�"
+                        elif v <= 0x10FFFF:
+                            cmap[(nb, code)] = chr(v)
+                    i += 1
+    except Exception:
+        return (1, {})
+    return ("mixed", ranges, cmap)
+
+
+def _iter_codes(raw: bytes, ranges: tuple):
+    """Yield (nbytes, code) by greedy SHORTEST-match against the mixed
+    codespace ranges (§9.7.6.2 consumption rule: take the number of bytes
+    of the codespace range the next bytes fall in; an unmatched byte
+    consumes 1 and yields (0, byte) — the caller's U+FFFD case)."""
+    i, n = 0, len(raw)
+    while i < n:
+        for nb in (1, 2, 3, 4):
+            if i + nb > n:
+                continue
+            code = int.from_bytes(raw[i : i + nb], "big")
+            if any(rn == nb and lo <= code <= hi for rn, lo, hi in ranges):
+                yield (nb, code)
+                i += nb
+                break
+        else:
+            yield (0, raw[i])
+            i += 1
 
 
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
@@ -859,6 +944,12 @@ def _shown_text(raw: bytes, cmap: tuple | None) -> str:
     trailing byte is U+FFFD."""
     if cmap is None:
         return raw.decode("utf-8", errors="replace")
+    if cmap[0] == "mixed":
+        _, ranges, mm = cmap
+        return "".join(
+            mm.get((nb, code), "�") if nb else "�"
+            for nb, code in _iter_codes(raw, ranges)
+        )
     width, m = cmap
     if width == 1:
         fb = _CMAP_FALLBACK
@@ -882,6 +973,14 @@ def _advance_units(raw: bytes, cmap: tuple | None, metrics: tuple) -> Tuple[floa
     single-byte code 32 per §9.3.3, so their space count is 0."""
     wmap, dw, _sp = metrics
     total = 0.0
+    if cmap is not None and cmap[0] == "mixed":
+        n = spaces = 0
+        for nb, code in _iter_codes(raw, cmap[1]):
+            total += wmap.get(code, dw) if nb else dw
+            n += 1
+            if nb == 1 and code == 32:
+                spaces += 1
+        return total, n, spaces
     if cmap is not None and cmap[0] == 2:
         n = 0
         for i in range(0, len(raw) - 1, 2):

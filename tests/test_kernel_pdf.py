@@ -973,3 +973,63 @@ def test_tc_tw_tz_feed_the_cursor():
     # all three lines read as single words/phrases, not split
     text = extract_pdf(payload)[0]
     assert "abcd" in text and "a bc" in text
+
+
+def test_mixed_width_codespace_cmap():
+    # one CMap, TWO codespace widths (§9.7.6.2): 1-byte <00><7F> ASCII,
+    # 2-byte <8000><FFFF> CJK-style. 0x41 (1-byte) and 0x8000 (2-byte)
+    # are distinct codes; bytes outside every range isolate as U+FFFD.
+    cmap = (
+        b"begincmap\n2 begincodespacerange\n<00> <7F>\n<8000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<41> <5A> <0041>\nendbfrange\n"
+        b"2 beginbfchar\n<8000> <4E00>\n<8001> <4E8C>\nendbfchar\nendcmap\n"
+    )
+    shown = bytes([0x41, 0x80, 0x00, 0x42, 0x80, 0x01])  # A, 一, B, 二
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F5 4 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F5 12 Tf 72 700 Td <"
+        + shown.hex().encode("ascii") + b"> Tj ET\nendstream\nendobj\n",
+        b"4 0 obj\n<</Type /Font /ToUnicode 6 0 R>>\nendobj\n",
+        b"6 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "A一B二"
+
+
+def test_mixed_width_codespace_unmatched_byte_isolates():
+    from document_ai_spark.kernel.pdf_extract import _parse_cmap, _shown_text
+
+    cmap = _parse_cmap(
+        b"begincmap\n2 begincodespacerange\n<00> <3F>\n<8000> <80FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<20> <0058>\nendbfchar\n"
+        b"1 beginbfrange\n<21> <3F> <0041>\nendbfrange\nendcmap\n"
+    )
+    assert cmap[0] == "mixed"
+    # 0x50 matches NO codespace range -> U+FFFD, consume one byte; the
+    # 0x80 0x10 pair lands in the 2-byte range but has no mapping -> FFFD
+    assert _shown_text(bytes([0x21, 0x50, 0x20, 0x80, 0x10]), cmap) == "A�X�"
+
+
+def test_mixed_width_codespace_with_cid_widths():
+    # metrics keyed by code: 1-byte 'A' (0x41) 500 units, 2-byte 0x8000
+    # 1000 units (DW). Successive shows abut through the mixed advance.
+    from document_ai_spark.kernel.pdf_extract import _parse_items, _split_pages
+
+    cmap = (
+        b"begincmap\n2 begincodespacerange\n<00> <7F>\n<8000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<41> <5A> <0041>\nendbfrange\n"
+        b"2 beginbfchar\n<8000> <4E00>\nendbfchar\nendcmap\n"
+    )
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F5 4 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F5 10 Tf 100 700 Td <41 8000> Tj <42> Tj ET\nendstream\nendobj\n",
+        b"4 0 obj\n<</Type /Font /Subtype /Type0 /DescendantFonts [9 0 R] /ToUnicode 6 0 R>>\nendobj\n",
+        b"9 0 obj\n<</Subtype /CIDFontType2 /DW 1000 /W [65 66 500]>>\nendobj\n",
+        b"6 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+    )
+    (stream, fonts), = _split_pages(payload)
+    items = _parse_items(stream, fonts)
+    # A (500u=5pt) + 一 (1000u=10pt) -> x_end 115; B abuts there
+    assert items == [(100, 700, 10, "A一", 115), (115, 700, 10, "B", 120)]
+    assert extract_pdf(payload)[0] == "A一B"
