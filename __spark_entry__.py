@@ -917,15 +917,16 @@ def q50_sessionize_watermarked(spark, sf_dir):
 def _q48_media_dir() -> str:
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v3")
+    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v4")
 
 
 def _q48_make_media_corpus(path: str, n: int = 180) -> None:
     """Deterministic media fixtures WITH ground-truth columns: payloads
     built by the kernel's own encoders (PNG/BMP/WAV/JPEG — the PNG mix
-    alternates flat and Adam7-interlaced; the JPEG mix covers both the
-    1-component grayscale and the dominant 3-component 4:2:0 container,
-    some with restart intervals), truth = the encode parameters. No RNG —
+    alternates flat and Adam7-interlaced; the JPEG mix covers the
+    1-component grayscale container, the dominant 3-component 4:2:0
+    container (some with restart intervals), and PROGRESSIVE (SOF2)
+    variants of both), truth = the encode parameters. No RNG —
     everything is a formula of media_id."""
     import numpy as np
     import pyarrow as pa
@@ -935,6 +936,8 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
         encode_bmp,
         encode_jpeg,
         encode_jpeg_420,
+        encode_jpeg_progressive,
+        encode_jpeg_progressive_420,
         encode_png,
         encode_png_adam7,
         encode_wav,
@@ -966,9 +969,15 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
                 )
             elif kind == "bmp":
                 payloads.append(encode_bmp(img))
-            elif i % 5 == 3:  # grayscale baseline container
-                payloads.append(encode_jpeg(img, quality=85))
-            else:  # YCbCr 4:2:0 container, every other one with restarts
+            elif i % 5 == 3:  # grayscale: baseline / progressive rotate
+                payloads.append(
+                    encode_jpeg_progressive(img, quality=85)
+                    if (i // 5) % 2
+                    else encode_jpeg(img, quality=85)
+                )
+            elif (i // 5) % 3 == 2:  # 3-component progressive container
+                payloads.append(encode_jpeg_progressive_420(img, quality=85))
+            else:  # YCbCr 4:2:0 baseline, every other one with restarts
                 payloads.append(
                     encode_jpeg_420(img, quality=85, restart_interval=(i // 5) % 2 * 3)
                 )

@@ -9,9 +9,16 @@ counterpart, same total-with-ValueError determinism contract as the
 PNG/BMP/WAV codecs in kernel/media.py.
 
 Decoder scope (documented):
-  * Baseline sequential DCT (SOF0) only — progressive (SOF2), arithmetic
-    coding, lossless and hierarchical modes raise ValueError (caller
-    isolates, the external-codec seam).
+  * Baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2: spectral
+    selection + successive approximation — DC first/refine, AC
+    first/refine with EOB runs; tables may be redefined between scans;
+    scans are decoded streaming so inter-scan DHT/DQT/DRI updates apply).
+    Arithmetic coding, lossless and hierarchical modes raise ValueError
+    (caller isolates, the external-codec seam).
+  * Progressive scans that touch only chroma components are SKIPPED
+    (entropy data jumped to the next marker) — the luminance contract
+    never needs them, and unlike baseline's interleaved MCUs their bits
+    are not entangled with Y.
   * 8-bit precision; 1..4 components; sampling factors 1..4 (covers
     4:4:4, 4:2:2, 4:2:0); restart intervals (DRI + RSTn markers).
   * Output is the LUMINANCE plane (component 1 / Y) — the same
@@ -252,6 +259,166 @@ def _decode_block(
     return block, pred
 
 
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Index of the next real marker (FF xx, xx not 00/FF/RSTn) at or
+    after ``pos`` — used to skip a scan's entropy-coded data."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = payload[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        elif nxt == 0xFF:  # fill byte
+            pos += 1
+        else:
+            return pos
+    return n
+
+
+def _ac_refine_block(br: _BitReader, ac_tab, coef, ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement for one block (G.1.2.3 /
+    libjpeg decode_mcu_AC_refine). ``coef`` is the block's zigzag-order
+    int64 view; returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_read(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            s_val = 0
+            if s == 0:
+                if r < 15:
+                    # unlike the first-scan form, the current block is a
+                    # member of this EOB run and is consumed by the
+                    # tail-correction pass below (which decrements)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad AC refinement magnitude")
+                s_val = p1 if br.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if br.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    payload: bytes,
+    start: int,
+    scan_comps: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    state: dict,
+) -> int:
+    """Decode one progressive scan's entropy data into the per-component
+    coefficient planes (zigzag order); returns the next marker position.
+    ``scan_comps`` is [(comp_index, td, ta), ...] in scan order."""
+    comps = state["comps"]
+    coefs = state["coefs"]
+    dc_tabs, ac_tabs = state["dc_tabs"], state["ac_tabs"]
+    ri = state["restart_interval"]
+    br = _BitReader(payload, start)
+    eobrun = 0
+    preds = [0] * len(comps)
+    unit = 0  # MCU (interleaved) / block (single-component) counter
+
+    def maybe_restart():
+        nonlocal eobrun, preds
+        if ri and unit and unit % ri == 0:
+            br.reset()
+            preds = [0] * len(comps)
+            eobrun = 0
+
+    if len(scan_comps) > 1:
+        if ss != 0:
+            raise ValueError("jpeg: interleaved AC scan not allowed")
+        for my in range(state["mcuy"]):
+            for mx in range(state["mcux"]):
+                maybe_restart()
+                for ci, td, _ta in scan_comps:
+                    comp = comps[ci]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            coef = coefs[ci][my * comp["v"] + by][mx * comp["h"] + bx]
+                            if ah == 0:
+                                t = _huff_read(br, dc_tabs[td])
+                                if t > 15:
+                                    raise ValueError("jpeg: bad DC category")
+                                preds[ci] += _extend(br.read_bits(t), t)
+                                coef[0] = preds[ci] << al
+                            elif br.read_bit():
+                                coef[0] |= 1 << al
+                unit += 1
+    else:
+        ci, td, ta = scan_comps[0]
+        comp = comps[ci]
+        bw = -(-(-(-state["width"] * comp["h"] // state["hmax"])) // 8)
+        bh = -(-(-(-state["height"] * comp["v"] // state["vmax"])) // 8)
+        for row in range(bh):
+            for col in range(bw):
+                maybe_restart()
+                coef = coefs[ci][row][col]
+                if ss == 0:  # DC scan, non-interleaved
+                    if ah == 0:
+                        t = _huff_read(br, dc_tabs[td])
+                        if t > 15:
+                            raise ValueError("jpeg: bad DC category")
+                        preds[ci] += _extend(br.read_bits(t), t)
+                        coef[0] = preds[ci] << al
+                    elif br.read_bit():
+                        coef[0] |= 1 << al
+                elif ah == 0:  # AC first scan
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _huff_read(br, ac_tabs[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                                k += 16
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("jpeg: AC index out of band")
+                            coef[k] = _extend(br.read_bits(s), s) << al
+                            k += 1
+                else:  # AC refinement
+                    eobrun = _ac_refine_block(br, ac_tabs[ta], coef, ss, se, al, eobrun)
+                unit += 1
+    return _next_marker(payload, br.pos)
+
+
 def _decode_jpeg_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad magic")
@@ -264,6 +431,8 @@ def _decode_jpeg_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
     width = height = 0
     restart_interval = 0
     scan_pos = -1
+    progressive = False
+    prog: dict | None = None  # coefficient planes, allocated at first SOS
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             pos += 1  # tolerate fill bytes
@@ -272,7 +441,9 @@ def _decode_jpeg_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
         if marker == 0xFF:
             pos += 1
             continue
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
@@ -302,7 +473,8 @@ def _decode_jpeg_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
                     raise ValueError("jpeg: short DHT")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, vals)
                 i += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"jpeg: precision {prec} unsupported")
@@ -314,23 +486,102 @@ def _decode_jpeg_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline sequential (SOF0) supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline/progressive DCT supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            sel = {}
+            if not progressive:
+                sel = {}
+                for s in range(ns):
+                    cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                    sel[cs] = (tt >> 4, tt & 0x0F)
+                for comp in comps:
+                    if comp["id"] not in sel:
+                        raise ValueError("jpeg: non-interleaved multi-scan unsupported")
+                    comp["td"], comp["ta"] = sel[comp["id"]]
+                scan_pos = pos + 2 + seglen
+                break
+            # PROGRESSIVE: decode this scan now (tables/DRI may change
+            # between scans, so state must be captured streaming)
+            if prog is None:
+                if not comps or width == 0 or height == 0:
+                    raise ValueError("jpeg: SOS before SOF")
+                if width * height > _MAX_PIXELS:
+                    raise ValueError("jpeg: dimensions out of range")
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+                    raise ValueError("jpeg: bad sampling factors")
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                prog = {
+                    "comps": comps,
+                    "coefs": [
+                        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                        for c in comps
+                    ],
+                    "dc_tabs": dc_tabs,
+                    "ac_tabs": ac_tabs,
+                    "mcux": mcux,
+                    "mcuy": mcuy,
+                    "width": width,
+                    "height": height,
+                    "hmax": hmax,
+                    "vmax": vmax,
+                }
+            prog["restart_interval"] = restart_interval
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("jpeg: short SOS")
+            scan_comps = []
+            touches_luma = False
             for s in range(ns):
                 cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
-                sel[cs] = (tt >> 4, tt & 0x0F)
-            for comp in comps:
-                if comp["id"] not in sel:
-                    raise ValueError("jpeg: non-interleaved multi-scan unsupported")
-                comp["td"], comp["ta"] = sel[comp["id"]]
-            scan_pos = pos + 2 + seglen
-            break
+                idx = next((i for i, c in enumerate(comps) if c["id"] == cs), None)
+                if idx is None:
+                    raise ValueError("jpeg: SOS names unknown component")
+                if idx == 0:
+                    touches_luma = True
+                scan_comps.append((idx, tt >> 4, tt & 0x0F))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not (0 <= ss <= se <= 63 and al <= 13):
+                raise ValueError("jpeg: bad spectral selection")
+            data_start = pos + 2 + seglen
+            if touches_luma:
+                pos = _decode_prog_scan(
+                    payload, data_start, scan_comps, ss, se, ah, al, prog
+                )
+            else:  # chroma-only scan: luminance never needs it
+                pos = _next_marker(payload, data_start)
+            continue
         pos += 2 + seglen
+    if progressive:
+        if prog is None:
+            raise ValueError("jpeg: progressive file with no scans")
+        y0 = comps[0]
+        if y0["tq"] not in qtabs:
+            raise ValueError("jpeg: missing quant table")
+        qtab = qtabs[y0["tq"]]
+        coefs0 = prog["coefs"][0]
+        bh, bw = coefs0.shape[:2]
+        luma = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for row in range(bh):
+            for col in range(bw):
+                dq = np.zeros(64, dtype=np.float64)
+                dq[_ZIGZAG] = coefs0[row][col] * qtab
+                luma[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = (
+                    _DCT_M.T @ dq.reshape(8, 8) @ _DCT_M
+                )
+        gray = np.clip(np.round(luma + 128.0), 0, 255).astype(np.uint8)
+        hmax, vmax = prog["hmax"], prog["vmax"]
+        if y0["h"] != hmax or y0["v"] != vmax:
+            gray = np.repeat(
+                np.repeat(gray, vmax // y0["v"], axis=0), hmax // y0["h"], axis=1
+            )
+        return width, height, gray[:height, :width]
+
     if scan_pos < 0 or not comps or width == 0 or height == 0:
         raise ValueError("jpeg: missing SOF/SOS")
     if width * height > _MAX_PIXELS:
@@ -572,4 +823,269 @@ def encode_jpeg_420(
     )
     out += bwriter.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (grayscale — generator/test twin of the SOF2 decoder)
+
+
+def _enc_ac_first(bwriter: _BitWriter, ac_enc, coef, ss: int, se: int, al: int) -> bool:
+    """AC first scan for one block: point-transformed (toward zero) band
+    coefficients with runs. Returns True when the band ends early — the
+    caller owes an EOB-run member for this block (runs accumulate across
+    blocks, emitted lazily by _ac_first_scan_body)."""
+    vals = []
+    for k in range(ss, se + 1):
+        c = int(coef[k])
+        vals.append(c // (1 << al) if c >= 0 else -((-c) >> al))
+    last = len(vals) - 1
+    while last >= 0 and vals[last] == 0:
+        last -= 1
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            bwriter.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_enc[(run << 4) | s]
+        bwriter.write(code, ln)
+        bwriter.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return last < len(vals) - 1
+
+
+def _ac_first_scan_body(blocks, ac_enc, ss: int, se: int, al: int) -> bytes:
+    """One AC first scan over ``blocks`` with CROSS-BLOCK EOB runs: the
+    EOB symbol (r<<4) covers 2^r + extra consecutive end-of-band blocks,
+    emitted lazily when the next block carries band content (or at scan
+    end) — exactly where the decoder reads it, since run-member blocks
+    emit nothing."""
+    bw_ = _BitWriter()
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        while eobrun > 0:
+            chunk = min(eobrun, 32767)
+            r = chunk.bit_length() - 1
+            code, ln = ac_enc[r << 4]
+            bw_.write(code, ln)
+            if r:
+                bw_.write(chunk - (1 << r), r)
+            eobrun -= chunk
+
+    for coef in blocks:
+        has_content = any(int(coef[k]) >> al if int(coef[k]) >= 0 else (-int(coef[k])) >> al for k in range(ss, se + 1))
+        if has_content:
+            flush()
+            if _enc_ac_first(bw_, ac_enc, coef, ss, se, al):
+                eobrun += 1
+        else:
+            eobrun += 1
+    flush()
+    return bw_.flush()
+
+
+def _enc_ac_refine(bwriter: _BitWriter, ac_enc, coef, ss: int, se: int, al: int) -> None:
+    """AC refinement scan for one block (G.1.2.3 encoder side): newly
+    significant coefficients as (run, 1)+sign, correction bits for
+    already-significant ones buffered and flushed after the next emitted
+    symbol, EOB (run of one) carrying the tail's correction bits."""
+    temp = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+    ke = 0
+    for i, t in enumerate(temp):
+        if t == 1:
+            ke = i + 1
+    run = 0
+    pending: List[int] = []
+    for i in range(ke):
+        t = temp[i]
+        if t == 0:
+            run += 1
+            continue
+        # ZRL must fire at ANY nonzero once the zero-run exceeds 15 —
+        # including already-significant ones — flushing only the
+        # correction bits buffered so far (the decoder's 16-zero skip
+        # reads exactly those; libjpeg encode_mcu_AC_refine order)
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            bwriter.write(code, ln)
+            for b in pending:
+                bwriter.write(b, 1)
+            pending = []
+            run -= 16
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        code, ln = ac_enc[(run << 4) | 1]
+        bwriter.write(code, ln)
+        bwriter.write(1 if int(coef[ss + i]) > 0 else 0, 1)
+        for b in pending:
+            bwriter.write(b, 1)
+        pending = []
+        run = 0
+    if ke < len(temp):
+        tail = [temp[i] & 1 for i in range(ke, len(temp)) if temp[i] != 0]
+        code, ln = ac_enc[0x00]  # EOB run of one: rest of band
+        bwriter.write(code, ln)
+        for b in pending + tail:
+            bwriter.write(b, 1)
+
+
+# progressive scans emit EOBn symbols (0x10..0xE0) that the baseline
+# Annex K AC table does not contain: a FLAT canonical table (255 symbols,
+# every rs value except 0xFF, all at code length 8 — the all-ones code
+# stays unused as §C.2 requires) ships via DHT as AC table 1
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(255))
+
+
+def _prog_ac_dht() -> bytes:
+    body = bytes((0x11,)) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    return bytes((0xFF, 0xC4)) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_progressive(gray: np.ndarray, quality: int = 85) -> bytes:
+    """2-D uint8 array -> single-component PROGRESSIVE (SOF2) JFIF with a
+    six-scan script exercising every decoder path: DC first (Al=1), two
+    AC spectral bands (1-5, 6-63; Al=1), DC refinement (raw bits), and
+    the two AC refinement scans (Al 1->0). Coefficient-exact with the
+    baseline encoder at the same quality — decode(progressive) must equal
+    decode(baseline) pixel-for-pixel, which the tests pin."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: empty image")
+    qtab = _quality_scale(_STD_LUMA_Q, quality)
+    dc_enc = _huff_encode_table(_STD_DC_BITS, _STD_DC_VALS)
+    ac_enc = _huff_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+    padded = _pad_blocks(gray, 8)
+    qnat = qtab.astype(np.float64).reshape(8, 8)
+    # quantized coefficients per block, zigzag order
+    blocks: List[np.ndarray] = []
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
+            block = _DCT_M @ padded[by : by + 8, bx : bx + 8] @ _DCT_M.T
+            blocks.append(np.round(block / qnat).astype(np.int64).reshape(-1)[_ZIGZAG])
+
+    def sos(ss: int, se: int, ah: int, al: int, body: bytes) -> bytes:
+        return (
+            bytes((0xFF, 0xDA))
+            + struct.pack(">H", 8)
+            + bytes((1, 1, 0x01, ss, se, (ah << 4) | al))  # DC tab 0, AC tab 1
+            + body
+        )
+
+    out = _jfif_headers(h, w, qtab[_ZIGZAG], bytes((1, 0x11, 0)))
+    # switch SOF0 -> SOF2 (the header helper emits C0 at a fixed spot)
+    sof_at = out.find(b"\xff\xc0")
+    out[sof_at + 1] = 0xC2
+    out += _prog_ac_dht()  # AC table 1: the EOBn-capable progressive table
+
+    # scan 1: DC first, Al=1
+    bw_ = _BitWriter()
+    pred = 0
+    for coef in blocks:
+        v = int(coef[0]) >> 1
+        diff = v - pred
+        pred = v
+        t = _category(diff)
+        code, ln = dc_enc[t]
+        bw_.write(code, ln)
+        if t:
+            bw_.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    out += sos(0, 0, 0, 1, bw_.flush())
+    # scans 2+3: AC first, two spectral bands, Al=1, cross-block EOB runs
+    for ss, se in ((1, 5), (6, 63)):
+        out += sos(ss, se, 0, 1, _ac_first_scan_body(blocks, ac_enc, ss, se, 1))
+    # scan 4: DC refinement (one raw bit per block, no huffman)
+    bw_ = _BitWriter()
+    for coef in blocks:
+        bw_.write(int(coef[0]) & 1, 1)
+    out += sos(0, 0, 1, 0, bw_.flush())
+    # scans 5+6: AC refinement, Al 1 -> 0
+    for ss, se in ((1, 5), (6, 63)):
+        bw_ = _BitWriter()
+        for coef in blocks:
+            _enc_ac_refine(bw_, ac_enc, coef, ss, se, 0)
+        out += sos(ss, se, 1, 0, bw_.flush())
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_420(gray: np.ndarray, quality: int = 85) -> bytes:
+    """2-D uint8 array -> THREE-component YCbCr 4:2:0 PROGRESSIVE (SOF2)
+    JFIF with neutral chroma: an INTERLEAVED DC scan over 16x16 MCUs
+    (4 Y + Cb + Cr, Al=0), a non-interleaved Y AC scan, and all-EOB-run
+    chroma AC scans — the container shape that exercises the decoder's
+    interleaved-progressive-DC and chroma-scan-SKIP paths. Pixel-exact
+    twin of encode_jpeg_420 at the same quality."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: empty image")
+    qtab = _quality_scale(_STD_LUMA_Q, quality)
+    dc_enc = _huff_encode_table(_STD_DC_BITS, _STD_DC_VALS)
+    ac_enc = _huff_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+    padded = _pad_blocks(gray, 16)
+    qnat = qtab.astype(np.float64).reshape(8, 8)
+    bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+    grid = {}
+    for row in range(bh):
+        for col in range(bw):
+            block = _DCT_M @ padded[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] @ _DCT_M.T
+            grid[(row, col)] = np.round(block / qnat).astype(np.int64).reshape(-1)[_ZIGZAG]
+
+    def sos(comps: bytes, ss: int, se: int, ah: int, al: int, body: bytes) -> bytes:
+        ns = len(comps) // 2
+        return (
+            bytes((0xFF, 0xDA))
+            + struct.pack(">H", 6 + 2 * ns)
+            + bytes((ns,)) + comps + bytes((ss, se, (ah << 4) | al))
+            + body
+        )
+
+    out = _jfif_headers(h, w, qtab[_ZIGZAG], bytes((1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)))
+    sof_at = out.find(b"\xff\xc0")
+    out[sof_at + 1] = 0xC2
+    out += _prog_ac_dht()  # AC table 1: the EOBn-capable progressive table
+
+    # scan 1: interleaved DC, all three components, Al=0 (chroma DC = 0)
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    zero_code = dc_enc[0]
+    for my in range(0, bh, 2):
+        for mx in range(0, bw, 2):
+            for by in (0, 1):
+                for bx in (0, 1):
+                    v = int(grid[(my + by, mx + bx)][0])
+                    diff = v - preds[0]
+                    preds[0] = v
+                    t = _category(diff)
+                    code, ln = dc_enc[t]
+                    bw_.write(code, ln)
+                    if t:
+                        bw_.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            bw_.write(*zero_code)  # Cb DC diff 0
+            bw_.write(*zero_code)  # Cr DC diff 0
+    out += sos(bytes((1, 0x00, 2, 0x00, 3, 0x00)), 0, 0, 0, 0, bw_.flush())
+    # scan 2: Y AC 1-63, non-interleaved raster order over the Y grid
+    # NON-INTERLEAVED scans cover the component's own block grid —
+    # ceil(pixels/8), WITHOUT the interleaved MCU padding (§A.2.2)
+    bh_y, bw_y = -(-h // 8), -(-w // 8)
+    yblocks = [grid[(r, c)] for r in range(bh_y) for c in range(bw_y)]
+    out += sos(bytes((1, 0x01)), 1, 63, 0, 0, _ac_first_scan_body(yblocks, ac_enc, 1, 63, 0))
+    # scans 3+4: chroma AC — all-zero bands, one EOB run per scan; the
+    # luminance decoder SKIPS these (the path under test)
+    n_chroma = (bh // 2) * (bw // 2)
+    zero_band = [np.zeros(64, dtype=np.int64)] * n_chroma
+    for cid in (2, 3):
+        out += sos(bytes((cid, 0x01)), 1, 63, 0, 0, _ac_first_scan_body(zero_band, ac_enc, 1, 63, 0))
+    out += b"\xff\xd9"
     return bytes(out)

@@ -1,10 +1,9 @@
-"""Pure-stdlib media codecs: real decode for PNG / BMP / WAV payloads.
+"""Pure-stdlib media codecs: real decode for PNG / JPEG / BMP / WAV.
 
 The container has no PIL/ffmpeg, but these public formats need only
-zlib + struct + the stdlib ``wave`` module, so the multimodal operator's
-decode seam (operators/multimodal.py) can run a REAL decoder for them —
-the NotImplementedError stub now covers only formats that genuinely need
-an external codec (JPEG/MP4/...).
+zlib + struct + numpy + the stdlib ``wave`` module, so the multimodal
+operator's decode seam (operators/multimodal.py) runs a REAL decoder for
+them — the external-codec seam now covers only MP4/WebP and friends.
 
 Scope (documented):
   * PNG (RFC 2083 / ISO 15948): 8-bit depth, color types 0 (gray),
@@ -12,8 +11,9 @@ Scope (documented):
     filters (None/Sub/Up/Average/Paeth); both interlace methods (none
     and Adam7 seven-pass de-interlacing).
   * JPEG (ISO/IEC 10918-1, kernel/jpeg.py — re-exported here): baseline
-    sequential DCT, 1..4 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
-    restart intervals; progressive raises ValueError.
+    sequential AND progressive DCT (spectral selection + successive
+    approximation), 1..4 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
+    restart intervals; arithmetic/lossless modes raise ValueError.
   * BMP: BITMAPINFOHEADER, uncompressed 24-bit BGR, bottom-up or
     top-down.
   * WAV: whatever ``wave`` accepts (PCM), decoded to mono int16.
@@ -39,6 +39,8 @@ from document_ai_spark.kernel.jpeg import (  # noqa: F401  (re-export)
     decode_jpeg,
     encode_jpeg,
     encode_jpeg_420,
+    encode_jpeg_progressive,
+    encode_jpeg_progressive_420,
 )
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"

@@ -12,11 +12,12 @@ extraction stage. Two decode paths:
     where no codec exists.
   * ``decode_stub=False``: REAL decoding for the formats pure
     stdlib+numpy can handle — PNG (zlib inflate + scanline unfilter),
-    baseline JPEG (huffman + IDCT, kernel/jpeg.py), uncompressed 24-bit
+    baseline+progressive JPEG (huffman + IDCT, kernel/jpeg.py),
+    uncompressed 24-bit
     BMP, and 16-bit PCM WAV (kernel/media.py; no PIL/ffmpeg needed) —
     emitting true dimensions / duration and luminance/amplitude
     histogram features. Formats that genuinely need an external codec
-    (MP4/WebP/progressive JPEG/...) sniff as 'unknown' (or isolate via
+    (MP4/WebP/...) sniff as 'unknown' (or isolate via
     ValueError) and yield a null-feature row (per-payload isolation,
     same contract as the extraction kernel); that row is exactly where
     PIL/ffmpeg would plug in.

@@ -17,6 +17,8 @@ from document_ai_spark.kernel.media import (
     encode_bmp,
     encode_jpeg,
     encode_jpeg_420,
+    encode_jpeg_progressive,
+    encode_jpeg_progressive_420,
     encode_png,
     encode_png_adam7,
     encode_wav,
@@ -260,11 +262,11 @@ def test_jpeg_restart_interval_identical_pixels():
         assert np.array_equal(base, got)
 
 
-def test_jpeg_rejects_progressive_and_truncated():
+def test_jpeg_rejects_lossless_and_truncated():
     img = _grad(8, 8)
     payload = bytearray(encode_jpeg(img))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # masquerade as progressive
+    payload[sof + 1] = 0xC3  # masquerade as lossless (out of scope)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
     good = encode_jpeg(img)
@@ -341,3 +343,70 @@ def test_media_features_real_decode_path(spark):
     assert got[4].media_type == "jpeg" and got[4].features is None
     assert got[5].media_type == "png" and got[5].features is None
     assert got[8].media_type == "unknown" and got[8].features is None
+
+
+def test_jpeg_progressive_equals_baseline_pixels():
+    # progressive (SOF2) and baseline encoders share quantization: the
+    # six-scan spectral-selection + successive-approximation script must
+    # reconstruct the EXACT same pixels, both container shapes
+    for h, w in ((12, 17), (1, 2), (8, 8), (33, 40)):
+        img = _grad(h, w)
+        for q in (30, 85, 95):
+            b = decode_jpeg(encode_jpeg(img, q))[2]
+            p = decode_jpeg(encode_jpeg_progressive(img, q))[2]
+            assert np.array_equal(b, p), (h, w, q)
+            b4 = decode_jpeg(encode_jpeg_420(img, q))[2]
+            p4 = decode_jpeg(encode_jpeg_progressive_420(img, q))[2]
+            assert np.array_equal(b4, p4), (h, w, q)
+
+
+def test_jpeg_progressive_flat_image_eob_runs():
+    # a flat image makes every AC band empty: the whole scan is one
+    # cross-block EOB run — the multi-block EOBRUN decode path
+    img = np.full((40, 48), 77, np.uint8)
+    w, h, gray = decode_jpeg(encode_jpeg_progressive(img, 85))
+    assert (w, h) == (48, 40)
+    assert np.array_equal(gray, decode_jpeg(encode_jpeg(img, 85))[2])
+
+
+def test_jpeg_progressive_noise_fuzz():
+    rng = np.random.RandomState(11)
+    for _ in range(15):
+        h, w = rng.randint(1, 50), rng.randint(1, 50)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        q = int(rng.choice([20, 60, 95]))
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, q))[2],
+            decode_jpeg(encode_jpeg_progressive(img, q))[2],
+        )
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_420(img, q))[2],
+            decode_jpeg(encode_jpeg_progressive_420(img, q))[2],
+        )
+
+
+def test_jpeg_progressive_mutation_totality():
+    payload = bytearray(encode_jpeg_progressive(_grad(9, 9), quality=70))
+    for i in range(len(payload)):
+        mutated = bytes(payload[:i]) + bytes((payload[i] ^ 0xA5,)) + bytes(payload[i + 1 :])
+        try:
+            w, h, gray = decode_jpeg(mutated)
+            assert gray.dtype == np.uint8 and gray.shape == (h, w)
+        except ValueError:
+            pass
+
+
+def test_media_features_decodes_progressive(spark):
+    from document_ai_spark.operators.multimodal import media_features
+
+    img = _grad(8, 10)
+    rows = [
+        (1, bytearray(encode_jpeg_progressive(img, 90))),
+        (2, bytearray(encode_jpeg_progressive_420(img, 90))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in media_features(df, decode_stub=False).collect()}
+    for mid in (1, 2):
+        assert got[mid].media_type == "jpeg"
+        assert (got[mid].width, got[mid].height) == (10, 8)
+        assert got[mid].features is not None and len(got[mid].features) == 16
