@@ -145,6 +145,15 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, np.ndarray]:
 
 
 _MAX_PIXELS = 16_000_000  # same sampled-media envelope as media.py
+# progressive scan budget: real encoders emit ~10-20 scans; a crafted
+# SOF2 payload with thousands of tiny scans would otherwise buy O(blocks)
+# Python work per scan — the CPU analog of a zlib bomb (the kernel's
+# contract is to ISOLATE such payloads, not chew on them)
+_MAX_PROG_SCANS = 64
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 class _BitReader:
@@ -377,8 +386,10 @@ def _decode_prog_scan(
     else:
         ci, td, ta = scan_comps[0]
         comp = comps[ci]
-        bw = -(-(-(-state["width"] * comp["h"] // state["hmax"])) // 8)
-        bh = -(-(-(-state["height"] * comp["v"] // state["vmax"])) // 8)
+        # non-interleaved block grid: ceil(ceil(pixels/hmax-scale)/8), no
+        # MCU padding (A.2.2)
+        bw = _ceil_div(_ceil_div(state["width"] * comp["h"], state["hmax"]), 8)
+        bh = _ceil_div(_ceil_div(state["height"] * comp["v"], state["vmax"]), 8)
         for row in range(bh):
             for col in range(bw):
                 maybe_restart()
@@ -531,6 +542,9 @@ def _decode_jpeg_inner(payload: bytes) -> Tuple[int, int, np.ndarray]:
                     "hmax": hmax,
                     "vmax": vmax,
                 }
+            prog["n_scans"] = prog.get("n_scans", 0) + 1
+            if prog["n_scans"] > _MAX_PROG_SCANS:
+                raise ValueError("jpeg: progressive scan count exceeds budget")
             prog["restart_interval"] = restart_interval
             if len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("jpeg: short SOS")

@@ -440,17 +440,19 @@ def _parse_cmap(data: bytes) -> tuple:
     cmap: dict = {}
     width = 1
     try:
-        ranges: list = []  # (nbytes, lo, hi) per codespacerange pair
-        cs = _CODESPACE_RE.search(data)
-        if cs:
+        ranges: list = []  # (nbytes, lo, hi) over ALL codespacerange blocks
+        first_hex = None
+        for cs in _CODESPACE_RE.finditer(data):
             hexes = [t[0] for t in _CMAP_TOK_RE.findall(cs.group(1)) if t[0]]
+            if first_hex is None and hexes:
+                first_hex = hexes[0]
             for lo_h, hi_h in zip(hexes[0::2], hexes[1::2]):
                 nb = max(1, min(4, (len(lo_h) + 1) // 2))
                 ranges.append((nb, int(lo_h, 16), int(hi_h, 16)))
-            if ranges and len({nb for nb, _, _ in ranges}) > 1:
-                return _parse_cmap_mixed(data, tuple(ranges))
-            if hexes and len(hexes[0]) > 2:
-                width = 2
+        if ranges and len({nb for nb, _, _ in ranges}) > 1:
+            return _parse_cmap_mixed(data, tuple(ranges))
+        if first_hex is not None and len(first_hex) > 2:
+            width = 2
         max_code = (1 << (8 * width)) - 1
         max_hex = 2 * width
         for m in _BFCHAR_RE.finditer(data):
@@ -563,6 +565,12 @@ def _font_metrics(fobj: bytes, objs: dict) -> tuple | None:
         dm = _DESCFONT_RE.search(fobj)
         if dm:  # Type0 -> descendant CIDFont
             desc = objs.get(int(dm.group(1)), b"")
+            # '/DescendantFonts 12 0 R' where object 12 is the ARRAY
+            # '[13 0 R]' (a common real layout): follow one more hop
+            if b"/W" not in desc and b"/DW" not in desc:
+                am = re.match(rb"\s*\[\s*(\d+)\s+\d+\s+R", desc)
+                if am:
+                    desc = objs.get(int(am.group(1)), b"")
             dwm = _DW_RE.search(desc)
             dw = float(dwm.group(1)) if dwm else 1000.0
             wmap: dict = {}
@@ -580,7 +588,12 @@ def _font_metrics(fobj: bytes, objs: dict) -> tuple | None:
                 wmap = _parse_cid_w(desc[wm.end() : i - 1])
             if not wmap and dwm is None:
                 return None
-            return (wmap, dw, min(dw, DEFAULT_SPACE_W))
+            # 4th field: CODE WIDTH in bytes — a CID font's widths are
+            # keyed by 2-byte codes, and the advance must consume the
+            # shown bytes pairwise even when the font has no usable
+            # ToUnicode cmap (review finding: byte-wise lookups in a
+            # CID-keyed map yield garbage advances)
+            return (wmap, dw, min(dw, DEFAULT_SPACE_W), 2)
         wm = _WIDTHS_RE.search(fobj)
         if not wm:
             return None
@@ -605,7 +618,7 @@ def _font_metrics(fobj: bytes, objs: dict) -> tuple | None:
             if mw:
                 default = float(mw.group(1))
         wmap = {first + i: w for i, w in enumerate(widths)}
-        return (wmap, default, wmap.get(32, DEFAULT_SPACE_W))
+        return (wmap, default, wmap.get(32, DEFAULT_SPACE_W), 1)
     except Exception:
         return None
 
@@ -716,8 +729,12 @@ def _page_fonts(
             cnum = int(tm.group(1))
             if cnum not in cmap_cache:
                 cmap_cache[cnum] = _parse_cmap(_stream_bytes(objs.get(cnum, b""), objs))
-            if cmap_cache[cnum][1]:  # (width, map): empty map = stay transparent
-                cmap = cmap_cache[cnum]
+            entry = cmap_cache[cnum]
+            # empty MAP = stay byte-transparent; the map is element 2 in
+            # the mixed shape (element 1 is the always-truthy ranges)
+            mapping = entry[2] if entry[0] == "mixed" else entry[1]
+            if mapping:
+                cmap = entry
         metrics = _font_metrics(fobj, objs)
         if cmap is not None or metrics is not None:
             fonts[name] = (cmap, metrics)
@@ -946,10 +963,19 @@ def _shown_text(raw: bytes, cmap: tuple | None) -> str:
         return raw.decode("utf-8", errors="replace")
     if cmap[0] == "mixed":
         _, ranges, mm = cmap
-        return "".join(
-            mm.get((nb, code), "�") if nb else "�"
-            for nb, code in _iter_codes(raw, ranges)
-        )
+        fb = _CMAP_FALLBACK
+        out_m: List[str] = []
+        for nb, code in _iter_codes(raw, ranges):
+            hit = mm.get((nb, code)) if nb else None
+            if hit is not None:
+                out_m.append(hit)
+            elif nb == 1:
+                # same ASCII passthrough as the uniform 1-byte path: real
+                # CMaps routinely map only the non-ASCII range
+                out_m.append(fb[code])
+            else:
+                out_m.append("�")
+        return "".join(out_m)
     width, m = cmap
     if width == 1:
         fb = _CMAP_FALLBACK
@@ -968,10 +994,12 @@ def _shown_text(raw: bytes, cmap: tuple | None) -> str:
 def _advance_units(raw: bytes, cmap: tuple | None, metrics: tuple) -> Tuple[float, int, int]:
     """(total glyph advance in 1/1000-em units, glyph count, single-byte
     space-code count) for a shown string, from the active font's width
-    metrics. 2-byte (CID) codespaces consume the raw bytes pairwise,
-    matching _shown_text; word spacing (Tw) applies only to the
-    single-byte code 32 per §9.3.3, so their space count is 0."""
-    wmap, dw, _sp = metrics
+    metrics ``(wmap, default, space_w, code_bytes)``. 2-byte codespaces —
+    from the cmap, or from CID metrics when the font has no cmap —
+    consume the raw bytes pairwise, matching _shown_text; word spacing
+    (Tw) applies only to the single-byte code 32 per §9.3.3, so their
+    space count is 0."""
+    wmap, dw = metrics[0], metrics[1]
     total = 0.0
     if cmap is not None and cmap[0] == "mixed":
         n = spaces = 0
@@ -981,7 +1009,9 @@ def _advance_units(raw: bytes, cmap: tuple | None, metrics: tuple) -> Tuple[floa
             if nb == 1 and code == 32:
                 spaces += 1
         return total, n, spaces
-    if cmap is not None and cmap[0] == 2:
+    # pairwise consumption: a 2-byte ToUnicode codespace, or (cmap-less)
+    # a CID font whose metrics declare 2-byte codes
+    if (cmap is not None and cmap[0] == 2) or (cmap is None and metrics[3] == 2):
         n = 0
         for i in range(0, len(raw) - 1, 2):
             total += wmap.get((raw[i] << 8) | raw[i + 1], dw)

@@ -84,7 +84,10 @@ def build_ann_index(
         catalog.write_partitioned(indexed, table, ["ivf_cluster"])
         return centroids
     if method == "lsh":
-        dim = len(emb.select(vec_col).first()[0])
+        head = emb.select(vec_col).first()
+        if head is None:
+            raise ValueError("build_ann_index: embedding table is empty")
+        dim = len(head[0])
         udf = sketch_udf(dim, n_planes)
         mask = (1 << prefix_bits) - 1
         indexed = emb.withColumn(

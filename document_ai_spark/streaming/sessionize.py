@@ -388,6 +388,16 @@ def run_sessionize_stream_watermarked(
     continue absorbing arrivals)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # the state fn compares pandas naive .timestamp() (treated as UTC)
+    # against getCurrentWatermarkMs() true-epoch values: correct ONLY
+    # under a UTC session timezone (session.py pins it; a caller with a
+    # local-TZ session would get lateness checks skewed by the offset)
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            f"watermarked sessionizer requires spark.sql.session.timeZone=UTC, got {tz!r}"
+        )
+
     batch_df = spark.read.parquet(events_path)
     schema = batch_df.schema
     if flush:
@@ -404,6 +414,10 @@ def run_sessionize_stream_watermarked(
             .agg(F.max("ts"))
             .first()[0]
         )
+        if max_ts is None:
+            raise ValueError(
+                "run_sessionize_stream_watermarked: no (non-sentinel) events"
+            )
         for n_sentinel in (1, 2):
             sentinel = spark.createDataFrame(
                 [tuple(None for _ in schema.fields)], schema

@@ -1033,3 +1033,91 @@ def test_mixed_width_codespace_with_cid_widths():
     # A (500u=5pt) + 一 (1000u=10pt) -> x_end 115; B abuts there
     assert items == [(100, 700, 10, "A一", 115), (115, 700, 10, "B", 120)]
     assert extract_pdf(payload)[0] == "A一B"
+
+
+def test_mixed_cmap_empty_map_stays_transparent():
+    # review regression: a mixed-width CMap whose bfchar/bfrange sections
+    # parse to NOTHING must leave the font byte-transparent (the truthy
+    # ranges tuple must not masquerade as a usable map)
+    from document_ai_spark.kernel.pdf_extract import _split_pages
+
+    cmap = (
+        b"begincmap\n2 begincodespacerange\n<00> <7F>\n<8000> <FFFF>\n"
+        b"endcodespacerange\nendcmap\n"
+    )
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F5 4 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F5 12 Tf 72 700 Td (hello) Tj ET\nendstream\nendobj\n",
+        b"4 0 obj\n<</Type /Font /ToUnicode 6 0 R>>\nendobj\n",
+        b"6 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+    )
+    assert extract_pdf(payload)[0] == "hello"
+
+
+def test_mixed_cmap_ascii_passthrough():
+    # review regression: in-codespace but unmapped 1-byte ASCII codes pass
+    # through (the Shift-JIS-style CMap that maps only the CJK range)
+    from document_ai_spark.kernel.pdf_extract import _parse_cmap, _shown_text
+
+    cmap = _parse_cmap(
+        b"begincmap\n2 begincodespacerange\n<00> <7F>\n<8000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<8000> <4E00>\nendbfchar\nendcmap\n"
+    )
+    assert cmap[0] == "mixed"
+    assert _shown_text(b"Hi \x80\x00!", cmap) == "Hi 一!"
+    # non-ASCII unmapped 1-byte still isolates (parity with uniform path)
+    assert _shown_text(bytes([0x7F]), cmap) == "\x7f"
+
+
+def test_mixed_cmap_split_codespacerange_blocks():
+    # review regression: widths split across TWO codespacerange blocks
+    # must still be detected as mixed
+    from document_ai_spark.kernel.pdf_extract import _parse_cmap, _shown_text
+
+    cmap = _parse_cmap(
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00> <7F>\nendcodespacerange\n"
+        b"1 begincodespacerange\n<8000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<8001> <4E8C>\nendbfchar\nendcmap\n"
+    )
+    assert cmap[0] == "mixed"
+    assert _shown_text(b"A\x80\x01", cmap) == "A二"
+
+
+def test_cid_widths_without_tounicode_consume_pairwise():
+    # review regression: a Type0 font with /W metrics but NO usable
+    # ToUnicode must still advance by 2-byte codes, not per byte
+    from document_ai_spark.kernel.pdf_extract import _parse_items, _split_pages
+
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F2 4 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F2 10 Tf 100 700 Td <00200021> Tj <0022> Tj ET\nendstream\nendobj\n",
+        b"4 0 obj\n<</Type /Font /Subtype /Type0 /DescendantFonts [9 0 R]>>\nendobj\n",
+        b"9 0 obj\n<</Subtype /CIDFontType2 /DW 500 /W [32 34 400]>>\nendobj\n",
+    )
+    (stream, fonts), = _split_pages(payload)
+    items = _parse_items(stream, fonts)
+    # two CIDs of 400 units @ size 10 = 8 pt (NOT four byte-lookups); the
+    # second show abuts at 108 and advances one more CID to 112. Note the
+    # low byte 0x20 must NOT count as a Tw-eligible space (2-byte code).
+    assert [(it[0], it[4]) for it in items] == [(100, 108), (108, 112)]
+
+
+def test_descendantfonts_indirect_array():
+    # review regression: '/DescendantFonts 12 0 R' -> object 12 is the
+    # ARRAY '[13 0 R]' -> metrics come from object 13
+    from document_ai_spark.kernel.pdf_extract import _parse_items, _split_pages
+
+    payload = _doc(
+        b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n",
+        b"2 0 obj\n<</Type /Page /Resources <</Font <</F2 4 0 R>>>> /Contents 3 0 R>>\nendobj\n",
+        b"3 0 obj\nstream\nBT /F2 10 Tf 100 700 Td <0041> Tj ET\nendstream\nendobj\n",
+        b"4 0 obj\n<</Type /Font /Subtype /Type0 /DescendantFonts 12 0 R>>\nendobj\n",
+        b"12 0 obj\n[13 0 R]\nendobj\n",
+        b"13 0 obj\n<</Subtype /CIDFontType2 /DW 600>>\nendobj\n",
+    )
+    (stream, fonts), = _split_pages(payload)
+    items = _parse_items(stream, fonts)
+    assert [(it[0], it[4]) for it in items] == [(100, 106)]  # 600u @ 10pt

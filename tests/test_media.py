@@ -410,3 +410,54 @@ def test_media_features_decodes_progressive(spark):
         assert got[mid].media_type == "jpeg"
         assert (got[mid].width, got[mid].height) == (10, 8)
         assert got[mid].features is not None and len(got[mid].features) == 16
+
+
+def test_jpeg_progressive_scan_budget():
+    # review regression: a crafted SOF2 payload with thousands of tiny
+    # scans is the CPU analog of a zlib bomb — the decoder must isolate
+    # it (ValueError) instead of chewing O(blocks) Python work per scan
+    payload = bytearray(encode_jpeg_progressive(_grad(16, 16), 85))
+    eoi = bytes(payload[-2:])
+    assert eoi == b"\xff\xd9"
+    body = bytes(payload[:-2])
+    # clone one tiny AC scan many times (valid SOS headers, junk entropy)
+    sos_at = body.rfind(b"\xff\xda")
+    one_scan = body[sos_at:]
+    bomb = body + one_scan * 200 + eoi
+    with pytest.raises(ValueError):
+        decode_jpeg(bomb)
+
+
+def test_ann_and_sessionize_empty_input_guards(spark):
+    import pytest as _pytest
+
+    from document_ai_spark.operators.ann_index import build_ann_index
+    from document_ai_spark.sources.catalog import Catalog
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    import tempfile
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ann_empty_"))
+    with _pytest.raises(ValueError, match="empty"):
+        build_ann_index(empty, cat, "t", method="lsh")
+
+
+def test_watermarked_sessionizer_requires_utc(spark, tmp_path):
+    import pytest as _pytest
+
+    from document_ai_spark.streaming.sessionize import (
+        run_sessionize_stream_watermarked,
+    )
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 3, 1), 1, "c", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(src)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        with _pytest.raises(ValueError, match="timeZone"):
+            run_sessionize_stream_watermarked(spark, src, str(tmp_path / "ck"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
