@@ -917,16 +917,17 @@ def q50_sessionize_watermarked(spark, sf_dir):
 def _q48_media_dir() -> str:
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v4")
+    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v5")
 
 
 def _q48_make_media_corpus(path: str, n: int = 180) -> None:
     """Deterministic media fixtures WITH ground-truth columns: payloads
-    built by the kernel's own encoders (PNG/BMP/WAV/JPEG — the PNG mix
+    built by the kernel's own encoders (PNG/BMP/WAV/JPEG/GIF — the PNG mix
     alternates flat and Adam7-interlaced; the JPEG mix covers the
     1-component grayscale container, the dominant 3-component 4:2:0
     container (some with restart intervals), and PROGRESSIVE (SOF2)
-    variants of both), truth = the encode parameters. No RNG —
+    variants of both; GIFs alternate flat and interlaced), truth = the
+    encode parameters. No RNG —
     everything is a formula of media_id."""
     import numpy as np
     import pyarrow as pa
@@ -934,6 +935,7 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
 
     from document_ai_spark.kernel.media import (
         encode_bmp,
+        encode_gif,
         encode_jpeg,
         encode_jpeg_420,
         encode_jpeg_progressive,
@@ -945,7 +947,7 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
 
     ids, kinds, widths, heights, durs, payloads = [], [], [], [], [], []
     for i in range(n):
-        kind = ("png", "bmp", "wav", "jpeg", "jpeg")[i % 5]
+        kind = ("png", "bmp", "wav", "jpeg", "jpeg", "gif")[i % 6]
         ids.append(i)
         kinds.append(kind)
         if kind == "wav":
@@ -965,21 +967,23 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
             )
             if kind == "png":
                 payloads.append(
-                    encode_png_adam7(img) if (i // 5) % 2 else encode_png(img)
+                    encode_png_adam7(img) if (i // 6) % 2 else encode_png(img)
                 )
             elif kind == "bmp":
                 payloads.append(encode_bmp(img))
-            elif i % 5 == 3:  # grayscale: baseline / progressive rotate
+            elif kind == "gif":
+                payloads.append(encode_gif(img, interlace=bool((i // 6) % 2)))
+            elif i % 6 == 3:  # grayscale: baseline / progressive rotate
                 payloads.append(
                     encode_jpeg_progressive(img, quality=85)
-                    if (i // 5) % 2
+                    if (i // 6) % 2
                     else encode_jpeg(img, quality=85)
                 )
-            elif (i // 5) % 3 == 2:  # 3-component progressive container
+            elif (i // 6) % 3 == 2:  # 3-component progressive container
                 payloads.append(encode_jpeg_progressive_420(img, quality=85))
             else:  # YCbCr 4:2:0 baseline, every other one with restarts
                 payloads.append(
-                    encode_jpeg_420(img, quality=85, restart_interval=(i // 5) % 2 * 3)
+                    encode_jpeg_420(img, quality=85, restart_interval=(i // 6) % 2 * 3)
                 )
             widths.append(w)
             heights.append(h)

@@ -1,4 +1,4 @@
-"""Pure-stdlib media codecs: real decode for PNG / JPEG / BMP / WAV.
+"""Pure-stdlib media codecs: real decode for PNG / JPEG / GIF / BMP / WAV.
 
 The container has no PIL/ffmpeg, but these public formats need only
 zlib + struct + numpy + the stdlib ``wave`` module, so the multimodal
@@ -14,6 +14,9 @@ Scope (documented):
     sequential AND progressive DCT (spectral selection + successive
     approximation), 1..4 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
     restart intervals; arithmetic/lossless modes raise ValueError.
+  * GIF (87a/89a, kernel/gif.py — re-exported here): first frame,
+    global/local color tables, interlace, GIF-convention LZW; animated
+    GIFs yield their poster (first) frame.
   * BMP: BITMAPINFOHEADER, uncompressed 24-bit BGR, bottom-up or
     top-down.
   * WAV: whatever ``wave`` accepts (PCM), decoded to mono int16.
@@ -35,6 +38,10 @@ from typing import List, Tuple
 
 import numpy as np
 
+from document_ai_spark.kernel.gif import (  # noqa: F401  (re-export)
+    decode_gif,
+    encode_gif,
+)
 from document_ai_spark.kernel.jpeg import (  # noqa: F401  (re-export)
     decode_jpeg,
     encode_jpeg,
@@ -55,6 +62,8 @@ def sniff_media(payload: bytes) -> str:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -108,6 +108,9 @@ def media_features(
             if kind == "jpeg":
                 w, h, gray = M.decode_jpeg(b)
                 return kind, w, h, 0, M.image_features(gray)
+            if kind == "gif":
+                w, h, gray = M.decode_gif(b)
+                return kind, w, h, 0, M.image_features(gray)
             if kind == "bmp":
                 w, h, gray = M.decode_bmp(b)
                 return kind, w, h, 0, M.image_features(gray)

@@ -57,7 +57,8 @@ def test_sniff():
     assert sniff_media(encode_wav(np.zeros(10, dtype=np.int16))) == "wav"
     assert sniff_media(b"\xff\xd8\xff\xe0jpeg-ish") == "jpeg"
     assert sniff_media(encode_jpeg(_grad())) == "jpeg"
-    assert sniff_media(b"GIF89a....") == "unknown"
+    assert sniff_media(b"GIF89a....") == "gif"
+    assert sniff_media(b"RIFFxxxxWEBP") == "unknown"
 
 
 def test_png_roundtrip_gray():
@@ -325,7 +326,7 @@ def test_media_features_real_decode_path(spark):
         (5, bytearray(PNG_MAGIC + b"corrupt")),
         (6, bytearray(encode_jpeg(img, quality=95))),
         (7, bytearray(encode_jpeg_420(img, quality=95))),
-        (8, bytearray(b"GIF89a; no codec here")),
+        (8, bytearray(b"RIFFxxxxWEBPno codec here")),
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r for r in media_features(df, decode_stub=False).collect()}
@@ -461,3 +462,92 @@ def test_watermarked_sessionizer_requires_utc(spark, tmp_path):
             run_sessionize_stream_watermarked(spark, src, str(tmp_path / "ck"))
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_gif_roundtrip_and_interlace():
+    from document_ai_spark.kernel.media import decode_gif, encode_gif
+
+    for h, w in ((12, 17), (1, 1), (9, 5), (40, 33)):
+        img = _grad(h, w)
+        for il in (False, True):
+            gw, gh, gray = decode_gif(encode_gif(img, interlace=il))
+            assert (gw, gh) == (w, h)
+            assert np.array_equal(gray, img)  # ramp palette: lossless
+
+
+def test_gif_first_frame_of_animation_and_extensions():
+    import struct as _s
+
+    from document_ai_spark.kernel.media import decode_gif, encode_gif
+
+    img1, img2 = _grad(6, 8), (_grad(6, 8) + 100).astype(np.uint8)
+    a, b = encode_gif(img1), encode_gif(img2)
+    # splice: header+GCT of a, a graphic-control extension, frame 1 of a,
+    # frame of b, trailer — decoder must return FRAME 1 and skip the ext
+    head_end = 13 + 768  # header + 256-entry GCT
+    gce = bytes((0x21, 0xF9, 4, 0, 0, 0, 0, 0))  # ext + 4-byte block + term
+    animated = (
+        a[:head_end] + gce + a[head_end:-1] + b[head_end:-1] + b"\x3b"
+    )
+    gw, gh, gray = decode_gif(animated)
+    assert (gw, gh) == (8, 6)
+    assert np.array_equal(gray, img1)
+
+
+def test_gif_offset_frame_composes_on_background():
+    import struct as _s
+
+    from document_ai_spark.kernel.media import decode_gif
+
+    # hand-built: 6x4 screen, bg index 200, 2x2 frame at (3,1) of index 9
+    from document_ai_spark.kernel.gif import _lzw_encode_gif
+
+    out = bytearray(b"GIF89a") + _s.pack("<HH", 6, 4) + bytes((0x87, 200, 0))
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += bytes((0x2C,)) + _s.pack("<HHHH", 3, 1, 2, 2) + bytes((0,))
+    lzw = _lzw_encode_gif(bytes([9, 9, 9, 9]), 8)
+    out += bytes((8, len(lzw))) + lzw + bytes((0, 0x3B))
+    gw, gh, gray = decode_gif(bytes(out))
+    assert (gw, gh) == (6, 4)
+    assert gray[0, 0] == 200 and gray[1, 3] == 9 and gray[2, 4] == 9
+    assert gray[3, 5] == 200
+
+
+def test_gif_rejects_garbage_and_mutation_totality():
+    from document_ai_spark.kernel.media import decode_gif, encode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    payload = bytearray(encode_gif(_grad(7, 9)))
+    for i in range(0, len(payload), 3):  # every 3rd byte: keep it quick
+        mutated = bytes(payload[:i]) + bytes((payload[i] ^ 0x3C,)) + bytes(payload[i + 1 :])
+        try:
+            w, h, gray = decode_gif(mutated)
+            assert gray.dtype == np.uint8 and gray.shape == (h, w)
+        except ValueError:
+            pass
+
+
+def test_media_features_decodes_gif(spark):
+    from document_ai_spark.kernel.media import encode_gif
+    from document_ai_spark.operators.multimodal import media_features
+
+    img = _grad(8, 10)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(img))), (2, bytearray(encode_gif(img, interlace=True)))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in media_features(df, decode_stub=False).collect()}
+    for mid in (1, 2):
+        assert got[mid].media_type == "gif"
+        assert (got[mid].width, got[mid].height) == (10, 8)
+        assert got[mid].features is not None and len(got[mid].features) == 16
+    # gif of the SAME pixels agrees with png features (both lossless)
+    from document_ai_spark.kernel.media import encode_png
+
+    df2 = spark.createDataFrame([(3, bytearray(encode_png(img)))], "media_id long, payload binary")
+    png_feats = media_features(df2, decode_stub=False).collect()[0].features
+    assert got[1].features == png_feats
