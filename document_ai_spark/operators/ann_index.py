@@ -98,6 +98,47 @@ def build_ann_index(
     raise ValueError(f"unknown ANN index method {method!r}")
 
 
+def append_to_ann_index(
+    emb: DataFrame,
+    catalog: Catalog,
+    table: str,
+    method: str = "ivf",
+    centroids: list | None = None,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    prefix_bits: int = 8,
+) -> None:
+    """INCREMENTAL index maintenance: assign the new vectors with the
+    EXISTING probe metadata (the centroids the index was built with /
+    the deterministic hyperplanes) and append their partitions — no
+    retrain, no rewrite of existing buckets. This is the arriving-data
+    path of the index-is-a-table design: because the bucket of a vector
+    is a pure function of (vector, metadata), appended rows land in the
+    same directories probes already prune to, and a probe issued mid-
+    append sees a consistent prefix. Retrain + rebuild (build_ann_index)
+    only when drift degrades recall — the same build/refresh split as
+    any IVF service."""
+    if method == "ivf":
+        if centroids is None:
+            raise ValueError("append_to_ann_index: the index's centroids are required")
+        indexed = assign_cluster(emb, centroids, vec_col=vec_col)
+        catalog.write_partitioned(indexed, table, ["ivf_cluster"], mode="append")
+        return
+    if method == "lsh":
+        head = emb.select(vec_col).first()
+        if head is None:
+            return  # nothing to append
+        dim = len(head[0])
+        udf = sketch_udf(dim, n_planes)
+        mask = (1 << prefix_bits) - 1
+        indexed = emb.withColumn(
+            "sketch_prefix", udf(F.col(vec_col)).bitwiseAND(F.lit(mask))
+        )
+        catalog.write_partitioned(indexed, table, ["sketch_prefix"], mode="append")
+        return
+    raise ValueError(f"unknown ANN index method {method!r}")
+
+
 def _probe_clusters(query_vec: list, centroids: list, nprobe: int) -> list:
     """The nprobe centroid ids nearest the query by cosine (ties -> lowest
     id) — identical ranking rule to similarity.ivf_topk."""

@@ -127,3 +127,30 @@ def test_rebuild_is_deterministic(spark, emb, tmp_path_factory):
     a = {r.vec_id: r.ivf_cluster for r in cat.read("emb_a").collect()}
     b = {r.vec_id: r.ivf_cluster for r in cat.read("emb_b").collect()}
     assert a == b
+
+
+def test_append_maintains_index(spark, emb, tmp_path_factory):
+    # build on the first half, append the second with the SAME centroids:
+    # probes over the incrementally-built index must equal probes over a
+    # from-scratch build on the full corpus (bucket = pure function)
+    from document_ai_spark.operators.ann_index import append_to_ann_index
+
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("ann_wh_app")))
+    from document_ai_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, k=4)  # metadata fixed up front
+    build_ann_index(half_a, cat, "emb_inc", method="ivf", centroids=cents, n_clusters=4)
+    append_to_ann_index(half_b, cat, "emb_inc", method="ivf", centroids=cents)
+    build_ann_index(emb, cat, "emb_full", method="ivf", centroids=cents, n_clusters=4)
+    q = _query_vec(_dim(emb))
+    for nprobe in (1, 4):
+        a = ivf_topk_indexed(cat, "emb_inc", q, cents, k=7, nprobe=nprobe).collect()
+        b = ivf_topk_indexed(cat, "emb_full", q, cents, k=7, nprobe=nprobe).collect()
+        assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in b]
+    # the appended table still prunes
+    probed = ivf_topk_indexed(cat, "emb_inc", q, cents, k=7, nprobe=1)
+    nparts, _ = _scan_metrics(probed)
+    total_parts, _ = _scan_metrics(cat.read("emb_inc"))
+    assert nparts == 1 < total_parts
