@@ -914,6 +914,19 @@ def q50_sessionize_watermarked(spark, sf_dir):
     ).orderBy("user_id", "session_start")
 
 
+def q51_bigram_lm_quality(spark, sf_dir):
+    """Corpus-trained bigram LM quality score (the KenLM/CCNet-style
+    filter a 100 TB webtext pipeline runs before training): train bigram
+    + context counts over the documents table, score each document's
+    add-1-smoothed mean negative log-likelihood. All JVM DataFrame ops;
+    per-bigram nll rounds to 4 dp before an exact DECIMAL sum so shuffle
+    order / libm-vs-JVM log ulps cannot move the hash (oracle re-derives
+    the identical pipeline in SQL)."""
+    from document_ai_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 def _q48_media_dir() -> str:
     import tempfile
 
@@ -1167,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_media_decode_truth": q48_media_decode_truth,
         "q49_ivf_indexed_pruned_probe": q49_ivf_indexed_pruned_probe,
         "q50_sessionize_watermarked": q50_sessionize_watermarked,
+        "q51_bigram_lm_quality": q51_bigram_lm_quality,
     }
 
 
@@ -1935,6 +1949,39 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({_cosine('e.embedding', 'q.qv')}, 4) AS score
 FROM embeddings e, q
 ORDER BY score DESC, e.vec_id ASC LIMIT 7
+""",
+        # the LM-quality pipeline re-derived in SQL: same tokenization,
+        # same smoothing, same 4dp-then-DECIMAL rounding discipline
+        "q51_bigram_lm_quality": """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+  FROM documents
+), toks AS (
+  -- parallel unnests of equal length zip in DuckDB: (position, token)
+  SELECT * FROM (
+    SELECT doc_id,
+           unnest(generate_series(1, len(arr))) AS pos,
+           unnest(arr) AS tok
+    FROM base
+  ) WHERE tok != ''
+), big AS (
+  SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+  FROM toks
+), b2 AS (
+  SELECT * FROM big WHERE prev IS NOT NULL
+), c2 AS (
+  SELECT prev, tok, count(*) AS n2 FROM b2 GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, count(*) AS n1 FROM b2 GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok) AS v FROM toks
+)
+SELECT b2.doc_id,
+  count(*) AS n_bigrams,
+  round(CAST(sum(CAST(round(-log2((c2.n2 + 1.0) / (c1.n1 + 1.0 * v.v)), 4)
+                      AS DECIMAL(18,6))) / count(*) AS DOUBLE), 3) AS nll
+FROM b2 JOIN c2 USING (prev, tok) JOIN c1 USING (prev) CROSS JOIN v
+GROUP BY b2.doc_id ORDER BY doc_id
 """,
         # watermarked stream == batch, FULLY (sentinel flush drains): the
         # out-of-order staging must leave no trace — same sessions, same

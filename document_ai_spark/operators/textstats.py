@@ -13,7 +13,7 @@ import hashlib
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -324,3 +324,68 @@ def lang_id_trigram(text: Column, k: int = 20) -> Column:
             )
         )
     return F.array_max(F.array(*cands)).getField("lang")
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: int = 1,
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document —
+    the KenLM-style filter of web-corpus pipelines (CCNet shape: train a
+    small LM, keep documents whose per-token negative log-likelihood is
+    low), expressed ENTIRELY in JVM DataFrame ops so a DuckDB oracle can
+    re-derive it:
+
+      1. tokenize: lower + split on non-alphanumerics (posexplode keeps
+         in-document order);
+      2. bigrams via a lag window per document;
+      3. TRAIN: bigram and unigram-context counts over the whole corpus
+         (two shuffles on token keys — map-side partials, uniform-ish);
+      4. SCORE: add-k smoothed nll per bigram, -log2((c2+k)/(c1+k*V)),
+         ROUNDED to 4 dp before an exact DECIMAL sum (so shuffle order
+         and libm-vs-JVM log ulps cannot change the hash), averaged per
+         document; docs with < 2 tokens score null.
+
+    Returns (id_col, n_bigrams, nll) ordered by id. At 100 TB the train
+    side is a bounded top-V vocabulary table you broadcast (score becomes
+    a map-side join); here the full join documents the semantics and AQE
+    picks the strategy."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = toks.withColumn("prev", F.lag("tok").over(w)).filter(F.col("prev").isNotNull())
+    c2 = big.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("prev").agg(F.count("*").alias("c1"))
+    vocab = toks.select(F.countDistinct("tok").alias("v"))
+    scored = (
+        big.join(c2, ["prev", "tok"])
+        .join(c1, ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll_term",
+            F.round(
+                -F.log2(
+                    (F.col("c2") + F.lit(add_k))
+                    / (F.col("c1") + F.lit(add_k) * F.col("v"))
+                ),
+                4,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round((F.sum("nll_term") / F.count("*")).cast("double"), 3).alias("nll"),
+        )
+        .orderBy(id_col)
+    )

@@ -496,3 +496,24 @@ def test_lang_id_trigram_on_marked_text(spark):
     got = {r.i: r.g for r in df.select("i", lang_id_trigram(F.col("t")).alias("g")).collect()}
     for i, want, _ in rows:
         assert got[i] == want, (i, want, got[i])
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    # tiny corpus, hand-checkable: V=3 ('a','b','c'); doc 1 = "a b a b",
+    # doc 2 = "a c". bigrams: d1: (a,b)x2 (b,a)x1; d2: (a,c)x1.
+    # c1: a->3, b->1; c2: (a,b)=2, (b,a)=1, (a,c)=1; add-1, V=3:
+    # P(b|a)=(2+1)/(3+3)=.5, P(a|b)=(1+1)/(1+3)=.5, P(c|a)=(1+1)/(3+3)=1/3
+    import math
+
+    from document_ai_spark.operators.textstats import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a-c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert rows[1].n_bigrams == 3 and rows[2].n_bigrams == 1
+    assert rows[1].nll == 1.0  # three bigrams, each -log2(0.5) = 1
+    assert rows[2].nll == round(round(-math.log2(2 / 6), 4), 3)
+    # single-token / empty docs produce no row (no bigrams)
+    docs2 = spark.createDataFrame([(1, "only"), (2, "")], "doc_id long, text string")
+    assert bigram_lm_scores(docs2).count() == 0
