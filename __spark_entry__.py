@@ -930,7 +930,7 @@ def q51_bigram_lm_quality(spark, sf_dir):
 def _q48_media_dir() -> str:
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v5")
+    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v6")
 
 
 def _q48_make_media_corpus(path: str, n: int = 180) -> None:
@@ -939,8 +939,9 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
     alternates flat and Adam7-interlaced; the JPEG mix covers the
     1-component grayscale container, the dominant 3-component 4:2:0
     container (some with restart intervals), and PROGRESSIVE (SOF2)
-    variants of both; GIFs alternate flat and interlaced), truth = the
-    encode parameters. No RNG —
+    variants of both; GIFs alternate flat and interlaced; every third
+    GIF slot is instead an MP4 shell whose box-tree metadata is the
+    truth), truth = the encode parameters. No RNG —
     everything is a formula of media_id."""
     import numpy as np
     import pyarrow as pa
@@ -950,6 +951,7 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
         encode_bmp,
         encode_gif,
         encode_jpeg,
+        encode_mp4_shell,
         encode_jpeg_420,
         encode_jpeg_progressive,
         encode_jpeg_progressive_420,
@@ -961,9 +963,19 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
     ids, kinds, widths, heights, durs, payloads = [], [], [], [], [], []
     for i in range(n):
         kind = ("png", "bmp", "wav", "jpeg", "jpeg", "gif")[i % 6]
+        if kind == "gif" and (i // 6) % 3 == 2:
+            kind = "mp4"  # every third slot-5 row: video-container probe
         ids.append(i)
         kinds.append(kind)
-        if kind == "wav":
+        if kind == "mp4":
+            w = 320 + (i * 5) % 640
+            h = 180 + (i * 7) % 360
+            d = 1000 + i * 37
+            payloads.append(encode_mp4_shell(w, h, d))
+            widths.append(w)
+            heights.append(h)
+            durs.append(d)
+        elif kind == "wav":
             n_samp = 800 + i * 13
             rate = 8000
             t = np.arange(n_samp)

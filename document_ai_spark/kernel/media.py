@@ -20,6 +20,9 @@ Scope (documented):
   * BMP: BITMAPINFOHEADER, uncompressed 24-bit BGR, bottom-up or
     top-down.
   * WAV: whatever ``wave`` accepts (PCM), decoded to mono int16.
+  * MP4 (ISO-BMFF): METADATA probe only — box-tree walk to true
+    width/height (tkhd) and duration (mvhd); frame decode genuinely
+    needs an external codec and stays behind the null-feature seam.
 
 Every decoder is a total-with-ValueError pure function of the bytes —
 no RNG, no wall clock — so features are byte-identical at any
@@ -64,6 +67,8 @@ def sniff_media(payload: bytes) -> str:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -446,3 +451,108 @@ def audio_features(samples: np.ndarray) -> List[float]:
     )
     out = [float(x) for x in hist] + [rms, zc] + [0.0] * 6
     return [float(np.float32(x)) for x in out]
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO base media file format) — METADATA probe, no frame decode
+
+
+def probe_mp4(payload: bytes) -> Tuple[int, int, int]:
+    """MP4/ISO-BMFF bytes -> (width, height, duration_ms) by walking the
+    box tree: mvhd gives timescale+duration, the video trak's tkhd gives
+    16.16-fixed width/height. This is a pure METADATA probe — frame
+    decode (H.264/AV1/...) genuinely needs an external codec and stays
+    behind the multimodal null-feature seam; dimensions and duration are
+    what a corpus-stats / filtering pipeline needs from video payloads.
+    Total with ValueError."""
+    try:
+        return _probe_mp4_inner(payload)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"mp4: malformed ({type(exc).__name__}: {exc})")
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        btype = payload[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            head = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < head or pos + size > end:
+            raise ValueError("mp4: bad box size")
+        yield btype, pos + head, pos + size
+        pos += size
+
+
+def _probe_mp4_inner(payload: bytes) -> Tuple[int, int, int]:
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("mp4: bad magic")
+    duration_ms = 0
+    width = height = 0
+    for btype, s, e in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(payload, s, e):
+            if ctype == b"mvhd":
+                ver = payload[cs]
+                if ver == 1:
+                    timescale, duration = struct.unpack(">IQ", payload[cs + 20 : cs + 32])
+                else:
+                    timescale, duration = struct.unpack(">II", payload[cs + 12 : cs + 20])
+                if timescale:
+                    duration_ms = int(duration * 1000 // timescale)
+            elif ctype == b"trak":
+                for ttype, ts, te in _mp4_boxes(payload, cs, ce):
+                    if ttype != b"tkhd":
+                        continue
+                    ver = payload[ts]
+                    # v0 body: 4 ver/flags + 20 times/id/reserved/dur +
+                    # 16 reserved/layer/volume + 36 matrix = 76; v1: +12
+                    off = ts + (88 if ver == 1 else 76)
+                    w_fx, h_fx = struct.unpack(">II", payload[off : off + 8])
+                    w, h = w_fx >> 16, h_fx >> 16
+                    if w and h:  # the video track (audio traks are 0x0)
+                        width, height = max(width, w), max(height, h)
+        break
+    if width == 0 and height == 0 and duration_ms == 0:
+        raise ValueError("mp4: no moov metadata")
+    return width, height, duration_ms
+
+
+def encode_mp4_shell(width: int, height: int, duration_ms: int) -> bytes:
+    """Minimal VALID ISO-BMFF shell (ftyp + moov(mvhd, trak(tkhd)) + empty
+    mdat) carrying the given dimensions/duration — the deterministic
+    generator twin of probe_mp4 for fixtures and the q48 truth corpus.
+    Contains no coded frames (probe-only, like the probe itself)."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    timescale = 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # created, modified
+        + struct.pack(">II", timescale, duration_ms)
+        + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10  # rate/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),  # predefined + next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0 + enabled flags
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1) + b"\x00" * 4  # track id + reserved
+        + struct.pack(">I", duration_ms)
+        + b"\x00" * 8 + b"\x00" * 8  # reserved + layer/alt/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov + box(b"mdat", b"")

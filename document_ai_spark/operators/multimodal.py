@@ -114,6 +114,11 @@ def media_features(
             if kind == "bmp":
                 w, h, gray = M.decode_bmp(b)
                 return kind, w, h, 0, M.image_features(gray)
+            if kind == "mp4":
+                w, h, dur = M.probe_mp4(b)
+                # metadata is REAL (box-tree probe); frame features need
+                # an external codec -> None, the documented seam
+                return kind, w, h, dur, None
             if kind == "wav":
                 n, rate, samples = M.decode_wav(b)
                 dur = (n * 1000) // max(1, rate)

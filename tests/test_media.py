@@ -551,3 +551,47 @@ def test_media_features_decodes_gif(spark):
     df2 = spark.createDataFrame([(3, bytearray(encode_png(img)))], "media_id long, payload binary")
     png_feats = media_features(df2, decode_stub=False).collect()[0].features
     assert got[1].features == png_feats
+
+
+def test_mp4_probe_roundtrip_and_rejection():
+    from document_ai_spark.kernel.media import encode_mp4_shell, probe_mp4
+
+    assert probe_mp4(encode_mp4_shell(640, 360, 12345)) == (640, 360, 12345)
+    assert probe_mp4(encode_mp4_shell(1, 1, 0)) == (1, 1, 0)
+    assert sniff_media(encode_mp4_shell(4, 2, 7)) == "mp4"
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00\x00\x08ftyp")  # no moov
+    with pytest.raises(ValueError):
+        probe_mp4(b"not an mp4 at all!!")
+    # bad box size must not loop/overread
+    payload = bytearray(encode_mp4_shell(8, 8, 100))
+    payload[0:4] = (3).to_bytes(4, "big")  # size < header
+    with pytest.raises(ValueError):
+        probe_mp4(bytes(payload))
+
+
+def test_mp4_probe_mutation_totality():
+    from document_ai_spark.kernel.media import encode_mp4_shell, probe_mp4
+
+    payload = bytearray(encode_mp4_shell(320, 180, 555))
+    for i in range(len(payload)):
+        mutated = bytes(payload[:i]) + bytes((payload[i] ^ 0x81,)) + bytes(payload[i + 1 :])
+        try:
+            w, h, d = probe_mp4(mutated)
+            assert w >= 0 and h >= 0 and d >= 0
+        except ValueError:
+            pass
+
+
+def test_media_features_probes_mp4(spark):
+    from document_ai_spark.kernel.media import encode_mp4_shell
+    from document_ai_spark.operators.multimodal import media_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_mp4_shell(640, 360, 9000)))],
+        "media_id long, payload binary",
+    )
+    r = media_features(df, decode_stub=False).collect()[0]
+    assert r.media_type == "mp4"
+    assert (r.width, r.height, r.duration_ms) == (640, 360, 9000)
+    assert r.features is None  # frame decode = the external-codec seam
