@@ -68,7 +68,12 @@ def sniff_media(payload: bytes) -> str:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if payload[4:8] == b"ftyp":
-        return "mp4"
+        # ISO-BMFF holds more than video: HEIC/AVIF images share the
+        # container — classify by MAJOR BRAND so they stay 'unknown'
+        brand = payload[8:12]
+        if brand[:3] in (b"iso", b"mp4", b"avc", b"3gp", b"3g2", b"das", b"M4V", b"M4A", b"mmp", b"qt ") or brand == b"mp41" or brand == b"mp42":
+            return "mp4"
+        return "unknown"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -495,6 +500,7 @@ def _probe_mp4_inner(payload: bytes) -> Tuple[int, int, int]:
         raise ValueError("mp4: bad magic")
     duration_ms = 0
     width = height = 0
+    best_area = 0
     for btype, s, e in _mp4_boxes(payload, 0, len(payload)):
         if btype != b"moov":
             continue
@@ -517,8 +523,12 @@ def _probe_mp4_inner(payload: bytes) -> Tuple[int, int, int]:
                     off = ts + (88 if ver == 1 else 76)
                     w_fx, h_fx = struct.unpack(">II", payload[off : off + 8])
                     w, h = w_fx >> 16, h_fx >> 16
-                    if w and h:  # the video track (audio traks are 0x0)
-                        width, height = max(width, w), max(height, h)
+                    # the video track (audio traks are 0x0); with several
+                    # video traks keep the largest-AREA one's (w, h) PAIR
+                    # (independent maxes would mix tracks' dimensions)
+                    if w and h and w * h > best_area:
+                        best_area = w * h
+                        width, height = w, h
         break
     if width == 0 and height == 0 and duration_ms == 0:
         raise ValueError("mp4: no moov metadata")

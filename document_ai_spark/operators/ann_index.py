@@ -38,6 +38,7 @@ parallelism yields byte-identical bucket assignment.
 from __future__ import annotations
 
 from itertools import combinations
+from typing import Tuple
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -53,6 +54,48 @@ from document_ai_spark.operators.similarity import (
 from document_ai_spark.sources.catalog import Catalog
 
 
+def _params_fingerprint(method: str, centroids: list | None, dim: int, n_planes: int, prefix_bits: int) -> str:
+    """Deterministic digest of everything the bucket assignment depends
+    on — equality of fingerprints <=> identical bucket function."""
+    import hashlib
+    import json
+
+    if method == "ivf":
+        blob = json.dumps(centroids, sort_keys=True).encode()
+    else:
+        blob = json.dumps([method, dim, n_planes, prefix_bits]).encode()
+    return hashlib.blake2b(blob, digest_size=16).hexdigest()
+
+
+def _assign_buckets(
+    emb: DataFrame,
+    method: str,
+    centroids: list | None,
+    vec_col: str,
+    n_planes: int,
+    prefix_bits: int,
+) -> Tuple[DataFrame, str, int]:
+    """The ONE bucket-assignment body shared by build and append (the
+    'bucket is a pure function' contract must not have two copies):
+    -> (indexed df, partition column, embedding dim)."""
+    head = emb.select(vec_col).first()
+    if head is None:
+        raise ValueError("ann_index: embedding table is empty")
+    dim = len(head[0])
+    if method == "ivf":
+        if centroids is None:
+            raise ValueError("ann_index: ivf assignment requires centroids")
+        return assign_cluster(emb, centroids, vec_col=vec_col), "ivf_cluster", dim
+    if method == "lsh":
+        udf = sketch_udf(dim, n_planes)
+        mask = (1 << prefix_bits) - 1
+        indexed = emb.withColumn(
+            "sketch_prefix", udf(F.col(vec_col)).bitwiseAND(F.lit(mask))
+        )
+        return indexed, "sketch_prefix", dim
+    raise ValueError(f"unknown ANN index method {method!r}")
+
+
 def build_ann_index(
     emb: DataFrame,
     catalog: Catalog,
@@ -66,36 +109,39 @@ def build_ann_index(
     prefix_bits: int = 8,
 ) -> list:
     """Assign each vector its coarse bucket and write ``table`` identity-
-    partitioned by it. Returns the probe metadata (IVF: the centroid
-    list; LSH: the hyperplane matrix as nested lists) — k x dim floats,
-    small enough to keep driver-side / in a sidecar table.
+    partitioned by it, plus a ``<table>__meta`` SIDECAR table recording a
+    fingerprint of the bucket function (method + centroids / dim +
+    hyperplane params) — appends validate against it so an index can
+    never silently mix incompatible bucketings. Returns the probe
+    metadata (IVF: the centroid list; LSH: the hyperplane matrix as
+    nested lists).
 
     method='ivf'  -> partition column ``ivf_cluster`` (nearest centroid;
                      centroids trained here unless passed in).
     method='lsh'  -> partition column ``sketch_prefix`` (low
                      ``prefix_bits`` bits of the sign-sketch).
     """
-    if method == "ivf":
-        if centroids is None:
-            centroids = train_ivf_centroids(
-                emb, k=n_clusters, vec_col=vec_col, id_col=id_col
-            )
-        indexed = assign_cluster(emb, centroids, vec_col=vec_col)
-        catalog.write_partitioned(indexed, table, ["ivf_cluster"])
-        return centroids
-    if method == "lsh":
-        head = emb.select(vec_col).first()
-        if head is None:
-            raise ValueError("build_ann_index: embedding table is empty")
-        dim = len(head[0])
-        udf = sketch_udf(dim, n_planes)
-        mask = (1 << prefix_bits) - 1
-        indexed = emb.withColumn(
-            "sketch_prefix", udf(F.col(vec_col)).bitwiseAND(F.lit(mask))
+    if method == "ivf" and centroids is None:
+        centroids = train_ivf_centroids(emb, k=n_clusters, vec_col=vec_col, id_col=id_col)
+    indexed, part_col, dim = _assign_buckets(
+        emb, method, centroids, vec_col, n_planes, prefix_bits
+    )
+    catalog.write_partitioned(indexed, table, [part_col])
+    fp = _params_fingerprint(method, centroids, dim, n_planes, prefix_bits)
+    meta = emb.sparkSession.createDataFrame(
+        [(method, fp, dim, n_planes, prefix_bits)],
+        "method string, fingerprint string, dim int, n_planes int, prefix_bits int",
+    )
+    if catalog.iceberg:
+        catalog.drop(f"{table}__meta")
+        catalog.append(meta.coalesce(1), f"{table}__meta")
+    else:
+        meta.coalesce(1).write.mode("overwrite").parquet(
+            catalog.identifier(f"{table}__meta")
         )
-        catalog.write_partitioned(indexed, table, ["sketch_prefix"])
-        return [list(row) for row in _hyperplanes(dim, n_planes)]
-    raise ValueError(f"unknown ANN index method {method!r}")
+    if method == "ivf":
+        return centroids
+    return [list(row) for row in _hyperplanes(dim, n_planes)]
 
 
 def append_to_ann_index(
@@ -115,28 +161,31 @@ def append_to_ann_index(
     path of the index-is-a-table design: because the bucket of a vector
     is a pure function of (vector, metadata), appended rows land in the
     same directories probes already prune to, and a probe issued mid-
-    append sees a consistent prefix. Retrain + rebuild (build_ann_index)
-    only when drift degrades recall — the same build/refresh split as
-    any IVF service."""
-    if method == "ivf":
-        if centroids is None:
-            raise ValueError("append_to_ann_index: the index's centroids are required")
-        indexed = assign_cluster(emb, centroids, vec_col=vec_col)
-        catalog.write_partitioned(indexed, table, ["ivf_cluster"], mode="append")
-        return
-    if method == "lsh":
-        head = emb.select(vec_col).first()
-        if head is None:
-            return  # nothing to append
-        dim = len(head[0])
-        udf = sketch_udf(dim, n_planes)
-        mask = (1 << prefix_bits) - 1
-        indexed = emb.withColumn(
-            "sketch_prefix", udf(F.col(vec_col)).bitwiseAND(F.lit(mask))
+    append sees a consistent prefix. The append is validated against the
+    ``<table>__meta`` sidecar fingerprint — mismatched centroids /
+    hyperplane params / dim raise instead of silently landing rows in
+    buckets probes never read. Retrain + rebuild (build_ann_index) only
+    when drift degrades recall — the same build/refresh split as any IVF
+    service."""
+    if emb.select(vec_col).first() is None:
+        return  # nothing to append
+    indexed, part_col, dim = _assign_buckets(
+        emb, method, centroids, vec_col, n_planes, prefix_bits
+    )
+    # validate against the sidecar the build wrote: appending with
+    # different hyperplane params / centroids / dim would place rows in
+    # buckets probes never read — fail loudly instead
+    fp = _params_fingerprint(method, centroids, dim, n_planes, prefix_bits)
+    try:
+        meta = catalog.read(f"{table}__meta").first()
+    except Exception:
+        meta = None  # pre-sidecar index (or missing): append unvalidated
+    if meta is not None and (meta.method != method or meta.fingerprint != fp):
+        raise ValueError(
+            f"append_to_ann_index: bucket-function mismatch for {table!r} "
+            f"(index built as {meta.method}/{meta.fingerprint}, append is {method}/{fp})"
         )
-        catalog.write_partitioned(indexed, table, ["sketch_prefix"], mode="append")
-        return
-    raise ValueError(f"unknown ANN index method {method!r}")
+    catalog.write_partitioned(indexed, table, [part_col], mode="append")
 
 
 def _probe_clusters(query_vec: list, centroids: list, nprobe: int) -> list:

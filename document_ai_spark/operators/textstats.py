@@ -346,7 +346,8 @@ def bigram_lm_scores(
       4. SCORE: add-k smoothed nll per bigram, -log2((c2+k)/(c1+k*V)),
          ROUNDED to 4 dp before an exact DECIMAL sum (so shuffle order
          and libm-vs-JVM log ulps cannot change the hash), averaged per
-         document; docs with < 2 tokens score null.
+         document; docs with < 2 tokens produce NO output row (join
+         scores back with a left join if every document needs a row).
 
     Returns (id_col, n_bigrams, nll) ordered by id. At 100 TB the train
     side is a bounded top-V vocabulary table you broadcast (score becomes
@@ -364,7 +365,10 @@ def bigram_lm_scores(
     w = Window.partitionBy(id_col).orderBy("pos")
     big = toks.withColumn("prev", F.lag("tok").over(w)).filter(F.col("prev").isNotNull())
     c2 = big.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
-    c1 = big.groupBy("prev").agg(F.count("*").alias("c1"))
+    # context counts DERIVE from the bigram counts (sum over tok) — one
+    # aggregation over the tiny c2 table instead of re-tokenizing and
+    # re-shuffling the whole corpus a second time
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     vocab = toks.select(F.countDistinct("tok").alias("v"))
     scored = (
         big.join(c2, ["prev", "tok"])

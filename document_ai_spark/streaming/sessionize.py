@@ -393,7 +393,25 @@ def run_sessionize_stream_watermarked(
     # under a UTC session timezone (session.py pins it; a caller with a
     # local-TZ session would get lateness checks skewed by the offset)
     tz = spark.conf.get("spark.sql.session.timeZone", "")
-    if tz not in ("UTC", "Etc/UTC", "GMT"):
+    zero_offset = tz.upper() in (
+        "UTC", "GMT", "UT", "Z", "+00:00", "-00:00", "GMT0", "UTC0",
+        "ETC/UTC", "ETC/GMT", "ETC/GMT0", "ETC/GMT+0", "ETC/GMT-0",
+        "ETC/UNIVERSAL", "UNIVERSAL", "ZULU", "ETC/ZULU", "GREENWICH",
+        "ETC/GREENWICH",
+    )
+    if not zero_offset:
+        try:  # any IANA zone whose offset is permanently zero also works
+            from zoneinfo import ZoneInfo
+
+            z = ZoneInfo(tz)
+            zero_offset = all(
+                z.utcoffset(dt.datetime(y, m, 1)) == dt.timedelta(0)
+                for y in (1990, 2024)
+                for m in (1, 7)
+            )
+        except Exception:
+            zero_offset = False
+    if not zero_offset:
         raise ValueError(
             f"watermarked sessionizer requires spark.sql.session.timeZone=UTC, got {tz!r}"
         )

@@ -154,3 +154,24 @@ def test_append_maintains_index(spark, emb, tmp_path_factory):
     nparts, _ = _scan_metrics(probed)
     total_parts, _ = _scan_metrics(cat.read("emb_inc"))
     assert nparts == 1 < total_parts
+
+
+def test_append_rejects_mismatched_bucket_function(spark, emb, tmp_path_factory):
+    # the sidecar fingerprint guard: appending with different LSH params
+    # (or different centroids) must raise, not silently strand rows in
+    # buckets probes never read
+    from document_ai_spark.operators.ann_index import append_to_ann_index
+    from document_ai_spark.operators.similarity import train_ivf_centroids
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("ann_wh_guard")))
+    build_ann_index(emb, cat, "g_lsh", method="lsh", prefix_bits=4)
+    with pytest.raises(ValueError, match="mismatch"):
+        append_to_ann_index(emb, cat, "g_lsh", method="lsh", prefix_bits=8)
+    c1 = train_ivf_centroids(emb, k=4)
+    c2 = train_ivf_centroids(emb, k=2)
+    build_ann_index(emb, cat, "g_ivf", method="ivf", centroids=c1, n_clusters=4)
+    with pytest.raises(ValueError, match="mismatch"):
+        append_to_ann_index(emb, cat, "g_ivf", method="ivf", centroids=c2)
+    # matching params still append fine
+    append_to_ann_index(emb, cat, "g_lsh", method="lsh", prefix_bits=4)
+    append_to_ann_index(emb, cat, "g_ivf", method="ivf", centroids=c1)
