@@ -927,6 +927,20 @@ def q51_bigram_lm_quality(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def q52_bigram_lm_broadcast(spark, sf_dir):
+    """The bounded-vocabulary (CCNet top-V + <unk>) SCALE PATH of q51:
+    the top_v most frequent tokens form the vocabulary, OOV tokens map to
+    <unk> before training, and the bounded count tables are BROADCAST
+    into the score join — map-side scoring, count-table shuffles bounded
+    by (top_v+1)^2 regardless of corpus size. Run with top_v far above
+    the sf-corpus vocabulary so nothing maps to <unk>: the q47-pattern
+    equality pin — the oracle is the very same SQL as q51's, so a green
+    hash here proves broadcast == full-join on real corpus text."""
+    from document_ai_spark.operators.textstats import bigram_lm_scores_broadcast
+
+    return bigram_lm_scores_broadcast(_t(spark, sf_dir, "documents"), top_v=10**6)
+
+
 def _q48_media_dir() -> str:
     import tempfile
 
@@ -1193,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_ivf_indexed_pruned_probe": q49_ivf_indexed_pruned_probe,
         "q50_sessionize_watermarked": q50_sessionize_watermarked,
         "q51_bigram_lm_quality": q51_bigram_lm_quality,
+        "q52_bigram_lm_broadcast": q52_bigram_lm_broadcast,
     }
 
 
@@ -1309,7 +1324,7 @@ SELECT doc_id, guess_lang, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
     + least(stopword_ratio*5.0, 1.0)*0.2, 4) AS quality_score
 FROM r ORDER BY doc_id
 """
-    return {
+    out = {
         "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,
@@ -2054,6 +2069,10 @@ FROM read_parquet('{_q44_dirs()[3]}/*/*.parquet', hive_partitioning=true)
 GROUP BY 1, 2 ORDER BY lang, kind
 """,
     }
+    # q52 runs the broadcast top-V LM with top_v >> |vocab| — nothing maps
+    # to <unk>, so its truth IS q51's: same SQL, the q47-style equality pin
+    out["q52_bigram_lm_broadcast"] = out["q51_bigram_lm_quality"]
+    return out
 
 
 if __name__ == "__main__":

@@ -67,6 +67,23 @@ def _params_fingerprint(method: str, centroids: list | None, dim: int, n_planes:
     return hashlib.blake2b(blob, digest_size=16).hexdigest()
 
 
+def _is_missing_table(exc: Exception) -> bool:
+    """True only for 'the table/path does not exist' failures — the ONE
+    condition under which the sidecar guard may be skipped (pre-sidecar
+    index). Transient read errors (permissions, corrupt file) must NOT
+    silently disable the bucket-function mismatch guard."""
+    from pyspark.errors import AnalysisException
+
+    if not isinstance(exc, AnalysisException):
+        return False
+    msg = str(exc)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "TABLE_OR_VIEW_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+    )
+
+
 def _assign_buckets(
     emb: DataFrame,
     method: str,
@@ -74,18 +91,24 @@ def _assign_buckets(
     vec_col: str,
     n_planes: int,
     prefix_bits: int,
+    dim: int | None = None,
 ) -> Tuple[DataFrame, str, int]:
     """The ONE bucket-assignment body shared by build and append (the
     'bucket is a pure function' contract must not have two copies):
-    -> (indexed df, partition column, embedding dim)."""
-    head = emb.select(vec_col).first()
-    if head is None:
-        raise ValueError("ann_index: embedding table is empty")
-    dim = len(head[0])
+    -> (indexed df, partition column, embedding dim).
+
+    ``dim`` should be passed by the caller (IVF: len(centroids[0]);
+    append: the ``<table>__meta`` sidecar) — the ``first()`` fallback is
+    a build-time convenience only and costs one driver job."""
     if method == "ivf":
         if centroids is None:
             raise ValueError("ann_index: ivf assignment requires centroids")
-        return assign_cluster(emb, centroids, vec_col=vec_col), "ivf_cluster", dim
+        return assign_cluster(emb, centroids, vec_col=vec_col), "ivf_cluster", len(centroids[0])
+    if dim is None:
+        head = emb.select(vec_col).first()
+        if head is None:
+            raise ValueError("ann_index: embedding table is empty")
+        dim = len(head[0])
     if method == "lsh":
         udf = sketch_udf(dim, n_planes)
         mask = (1 << prefix_bits) - 1
@@ -107,6 +130,7 @@ def build_ann_index(
     vec_col: str = "embedding",
     n_planes: int = 16,
     prefix_bits: int = 8,
+    dim: int | None = None,
 ) -> list:
     """Assign each vector its coarse bucket and write ``table`` identity-
     partitioned by it, plus a ``<table>__meta`` SIDECAR table recording a
@@ -124,7 +148,7 @@ def build_ann_index(
     if method == "ivf" and centroids is None:
         centroids = train_ivf_centroids(emb, k=n_clusters, vec_col=vec_col, id_col=id_col)
     indexed, part_col, dim = _assign_buckets(
-        emb, method, centroids, vec_col, n_planes, prefix_bits
+        emb, method, centroids, vec_col, n_planes, prefix_bits, dim=dim
     )
     catalog.write_partitioned(indexed, table, [part_col])
     fp = _params_fingerprint(method, centroids, dim, n_planes, prefix_bits)
@@ -167,19 +191,25 @@ def append_to_ann_index(
     buckets probes never read. Retrain + rebuild (build_ann_index) only
     when drift degrades recall — the same build/refresh split as any IVF
     service."""
-    if emb.select(vec_col).first() is None:
-        return  # nothing to append
+    # Read the sidecar FIRST: it carries the dim the index was built
+    # with, so the append path launches no data-side driver job at all
+    # (k×dim centroids / a 5-field meta row are the only driver reads).
+    try:
+        meta = catalog.read(f"{table}__meta").first()
+    except Exception as exc:
+        if not _is_missing_table(exc):
+            raise  # transient error must not disable the mismatch guard
+        meta = None  # pre-sidecar index: append unvalidated
+    dim = meta.dim if meta is not None else None
+    if dim is None and method == "lsh" and emb.select(vec_col).first() is None:
+        return  # pre-sidecar LSH append of an empty frame: nothing to do
     indexed, part_col, dim = _assign_buckets(
-        emb, method, centroids, vec_col, n_planes, prefix_bits
+        emb, method, centroids, vec_col, n_planes, prefix_bits, dim=dim
     )
     # validate against the sidecar the build wrote: appending with
     # different hyperplane params / centroids / dim would place rows in
     # buckets probes never read — fail loudly instead
     fp = _params_fingerprint(method, centroids, dim, n_planes, prefix_bits)
-    try:
-        meta = catalog.read(f"{table}__meta").first()
-    except Exception:
-        meta = None  # pre-sidecar index (or missing): append unvalidated
     if meta is not None and (meta.method != method or meta.fingerprint != fp):
         raise ValueError(
             f"append_to_ann_index: bucket-function mismatch for {table!r} "

@@ -133,13 +133,33 @@ def lsh_candidate_groups(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 16, stride: int = 8, threshold: float = 0.0,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over char-shingle sets for all id pairs (a < b) that
     share at least one shingle. Intersection via shingle equi-join,
     union = |A| + |B| - inter. Use after LSH at scale; standalone only on
-    bounded subsets."""
+    bounded subsets.
+
+    ``max_shingle_df`` is the hot-shingle guard that makes that contract
+    mechanical: the equi-join produces |docs containing s|**2 rows per
+    shingle, so ONE boilerplate 16-gram shared by 10**6 documents is a
+    quadratic skew bomb. Shingles whose document frequency exceeds the
+    cap are dropped from the JOIN side only (an anti-join vs the — tiny,
+    AQE-broadcast — hot set); per-doc set sizes still count every
+    shingle, so results are EXACT for every pair none of whose shared
+    shingles is hot, and jaccard is under- (never over-) estimated for
+    pairs sharing boilerplate. Default 1000 caps any shingle's join
+    contribution at 10**6 rows; ``None`` disables the guard."""
     sh = shingles(df, text_col, id_col, k, stride)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

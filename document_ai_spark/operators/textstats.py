@@ -13,7 +13,7 @@ import hashlib
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -326,50 +326,45 @@ def lang_id_trigram(text: Column, k: int = 20) -> Column:
     return F.array_max(F.array(*cands)).getField("lang")
 
 
-def bigram_lm_scores(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    add_k: int = 1,
-) -> DataFrame:
-    """Corpus-trained bigram language-model quality score per document —
-    the KenLM-style filter of web-corpus pipelines (CCNet shape: train a
-    small LM, keep documents whose per-token negative log-likelihood is
-    low), expressed ENTIRELY in JVM DataFrame ops so a DuckDB oracle can
-    re-derive it:
-
-      1. tokenize: lower + split on non-alphanumerics (posexplode keeps
-         in-document order);
-      2. bigrams via a lag window per document;
-      3. TRAIN: bigram and unigram-context counts over the whole corpus
-         (two shuffles on token keys — map-side partials, uniform-ish);
-      4. SCORE: add-k smoothed nll per bigram, -log2((c2+k)/(c1+k*V)),
-         ROUNDED to 4 dp before an exact DECIMAL sum (so shuffle order
-         and libm-vs-JVM log ulps cannot change the hash), averaged per
-         document; docs with < 2 tokens produce NO output row (join
-         scores back with a left join if every document needs a row).
-
-    Returns (id_col, n_bigrams, nll) ordered by id. At 100 TB the train
-    side is a bounded top-V vocabulary table you broadcast (score becomes
-    a map-side join); here the full join documents the semantics and AQE
-    picks the strategy."""
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
-                lambda t: t != "",
-            )
-        ).alias("pos", "tok"),
+def _bigram_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, tok) bigram rows derived ENTIRELY array-side: the token
+    array is zipped against its own 1-shifted tail inside a single
+    ``transform`` (prev = arr[i], tok = arr[i+1]) and the pairs exploded
+    directly — zero shuffle, in contrast to the posexplode + per-document
+    ``lag`` window this replaced, which sorted the corpus's whole token
+    stream through a window exchange."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != "",
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    big = toks.withColumn("prev", F.lag("tok").over(w)).filter(F.col("prev").isNotNull())
-    c2 = big.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
-    # context counts DERIVE from the bigram counts (sum over tok) — one
-    # aggregation over the tiny c2 table instead of re-tokenizing and
-    # re-shuffling the whole corpus a second time
-    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
-    vocab = toks.select(F.countDistinct("tok").alias("v"))
+    t = docs.select(F.col(id_col), arr.alias("toks"))
+    pairs = F.transform(
+        F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda tok, i: F.struct(
+            F.element_at(F.col("toks"), i + F.lit(1)).alias("prev"),
+            tok.alias("tok"),
+        ),
+    )
+    return t.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok")
+    )
+
+
+def _score_bigrams(
+    big: DataFrame,
+    c2: DataFrame,
+    c1: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    add_k: int,
+    broadcast_counts: bool,
+) -> DataFrame:
+    """Shared scoring tail: add-k smoothed nll per bigram,
+    -log2((c2+k)/(c1+k*V)), ROUNDED to 4 dp before an exact DECIMAL sum
+    (so shuffle order and libm-vs-JVM log ulps cannot change the hash),
+    averaged per document."""
+    if broadcast_counts:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
     scored = (
         big.join(c2, ["prev", "tok"])
         .join(c1, ["prev"])
@@ -393,3 +388,122 @@ def bigram_lm_scores(
         )
         .orderBy(id_col)
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: int = 1,
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document —
+    the KenLM-style filter of web-corpus pipelines (CCNet shape: train a
+    small LM, keep documents whose per-token negative log-likelihood is
+    low), expressed ENTIRELY in JVM DataFrame ops so a DuckDB oracle can
+    re-derive it:
+
+      1. tokenize: lower + split on non-alphanumerics;
+      2. bigrams array-side (_bigram_pairs — zero shuffle);
+      3. TRAIN: bigram counts over the whole corpus (one shuffle on the
+         bigram key — map-side partials), context counts derived from
+         the bigram table;
+      4. SCORE: add-k smoothed nll per bigram (see _score_bigrams); docs
+         with < 2 tokens produce NO output row (join scores back with a
+         left join if every document needs a row).
+
+    Returns (id_col, n_bigrams, nll) ordered by id. This variant joins
+    the count tables back shuffle-side and lets AQE pick the strategy;
+    ``bigram_lm_scores_broadcast`` is the bounded-vocabulary scale path
+    (map-side score join) and equals this one exactly when its top_v
+    covers the full vocabulary."""
+    big = _bigram_pairs(docs, id_col, text_col)
+    c2 = big.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    # context counts DERIVE from the bigram counts (sum over tok) — one
+    # aggregation over the tiny c2 table instead of re-tokenizing and
+    # re-shuffling the whole corpus a second time
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = big.select(
+        F.explode(F.array("prev", "tok")).alias("tok")
+    ).unionByName(
+        # single-token documents contribute to V even though they emit no
+        # bigram — count vocabulary over ALL tokens, exactly as before
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok")
+        )
+    ).agg(F.countDistinct("tok").alias("v"))
+    return _score_bigrams(big, c2, c1, vocab, id_col, add_k, broadcast_counts=False)
+
+
+# sentinel for out-of-vocabulary tokens: contains non-alphanumerics, so the
+# tokenizer can never produce it from document text
+UNK = "<unk>"
+
+
+def bigram_lm_scores_broadcast(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: int = 1,
+    top_v: int = 50_000,
+) -> DataFrame:
+    """The 100 TB scale path of ``bigram_lm_scores``: CCNet-style bounded
+    vocabulary. The ``top_v`` most frequent tokens (ties -> lexicographic,
+    deterministic) form the vocabulary; every other token maps to
+    ``<unk>`` BEFORE training, so the bigram/context count tables are
+    bounded by (top_v+1)^2 regardless of corpus size and are BROADCAST
+    into the score join — scoring is map-side, the only corpus-wide
+    shuffles are the two bounded-key count aggregations and the final
+    per-document rollup.
+
+    Equality pin (same pattern as q47's full-probe == brute-force): with
+    top_v >= the full vocabulary size nothing maps to <unk> and the
+    result is row-identical to ``bigram_lm_scores`` —
+    tests/test_operators.py pins this; q52's DuckDB oracle is the same
+    SQL as q51's."""
+    big_raw = _bigram_pairs(docs, id_col, text_col)
+    toks_all = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    vocab_df = (
+        toks_all.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(top_v)
+        .select("tok")
+    )
+    in_prev = F.broadcast(
+        vocab_df.select(F.col("tok").alias("prev"), F.lit(True).alias("_pv"))
+    )
+    in_tok = F.broadcast(vocab_df.select("tok", F.lit(True).alias("_tv")))
+    big = (
+        big_raw.join(in_prev, ["prev"], "left")
+        .join(in_tok, ["tok"], "left")
+        .select(
+            id_col,
+            F.when(F.col("_pv").isNotNull(), F.col("prev")).otherwise(F.lit(UNK)).alias("prev"),
+            F.when(F.col("_tv").isNotNull(), F.col("tok")).otherwise(F.lit(UNK)).alias("tok"),
+        )
+    )
+    c2 = big.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    # V counts the UNKED token space (all tokens, including single-token
+    # docs' — mapped through the vocabulary): with full coverage this is
+    # exactly the full-variant V, with a bounded vocab it is <= top_v+1
+    vocab = (
+        toks_all.join(in_tok, ["tok"], "left")
+        .select(
+            F.when(F.col("_tv").isNotNull(), F.col("tok")).otherwise(F.lit(UNK)).alias("tok")
+        )
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    return _score_bigrams(big, c2, c1, vocab, id_col, add_k, broadcast_counts=True)

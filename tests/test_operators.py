@@ -517,3 +517,73 @@ def test_bigram_lm_scores_hand_computed(spark):
     # single-token / empty docs produce no row (no bigrams)
     docs2 = spark.createDataFrame([(1, "only"), (2, "")], "doc_id long, text string")
     assert bigram_lm_scores(docs2).count() == 0
+
+
+def test_ngram_jaccard_hot_shingle_cap_defuses_quadratic_blowup(spark):
+    # 12 docs all sharing ONE boilerplate shingle (the 16-char footer) but
+    # otherwise pairwise-disjoint text. Uncapped, the shared shingle makes
+    # all C(12,2)=66 pairs join-visible; with the cap below 12 the hot
+    # shingle is dropped from the join side and NO pair survives — while a
+    # genuinely-similar pair (same body) still comes out exact.
+    from document_ai_spark.operators.dedup import ngram_jaccard_pairs
+
+    footer = "=" * 16
+    # body = a 48-char run of one distinct letter: no two docs share any
+    # shingle except the footer
+    rows = [(i, chr(ord("a") + i) * 48 + footer) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(docs, k=16, stride=16, max_shingle_df=None)
+    capped = ngram_jaccard_pairs(docs, k=16, stride=16, max_shingle_df=11)
+    assert uncapped.count() == 66
+    assert capped.count() == 0
+    # a true near-dup pair (identical body, distinct tail) survives the cap
+    # with identical jaccard to the uncapped run: only hot shingles drop.
+    twin = spark.createDataFrame(
+        [(1, "shared paragraph body " * 8 + "tail-one"),
+         (2, "shared paragraph body " * 8 + "tail-two"),
+         (3, "completely different content here " * 6)],
+        "doc_id long, text string",
+    )
+    got_cap = ngram_jaccard_pairs(twin, k=16, stride=8, max_shingle_df=1000).collect()
+    got_raw = ngram_jaccard_pairs(twin, k=16, stride=8, max_shingle_df=None).collect()
+    assert sorted(map(tuple, got_cap)) == sorted(map(tuple, got_raw))
+    assert any(r.id_a == 1 and r.id_b == 2 and r.jaccard > 0.8 for r in got_cap)
+
+
+def test_bigram_lm_broadcast_full_vocab_equals_full_join(spark):
+    # the q47-style pin: with top_v >= |vocab| nothing maps to <unk>, so
+    # the broadcast (map-side score join) variant is row-identical to the
+    # full-join variant on real corpus text.
+    from document_ai_spark.operators.textstats import (
+        bigram_lm_scores,
+        bigram_lm_scores_broadcast,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id", "text")
+    full = bigram_lm_scores(docs).collect()
+    bcast = bigram_lm_scores_broadcast(docs, top_v=10**6).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, bcast))
+    assert len(full) > 0
+
+
+def test_bigram_lm_broadcast_unk_hand_computed(spark):
+    # bounded-vocab semantics, hand-checked: corpus "a b a b a c" with
+    # top_v=2 keeps {a, b} (freq 3, 2); c -> <unk>. V over unked tokens =
+    # |{a, b, <unk>}| = 3. bigrams (a,b)(b,a)(a,b)(b,a)(a,<unk>):
+    # c1: a->3, b->2; c2: (a,b)=2, (b,a)=2, (a,<unk>)=1; add-1:
+    # P(b|a)=3/6, P(a|b)=3/5, P(<unk>|a)=2/6.
+    import math
+
+    from document_ai_spark.operators.textstats import bigram_lm_scores_broadcast
+
+    docs = spark.createDataFrame([(1, "a b a b a c")], "doc_id long, text string")
+    row = bigram_lm_scores_broadcast(docs, top_v=2).collect()[0]
+    terms = [
+        round(-math.log2(3 / 6), 4),
+        round(-math.log2(3 / 5), 4),
+        round(-math.log2(3 / 6), 4),
+        round(-math.log2(3 / 5), 4),
+        round(-math.log2(2 / 6), 4),
+    ]
+    assert row.n_bigrams == 5
+    assert row.nll == round(sum(terms) / 5, 3)
