@@ -63,11 +63,19 @@ unpacked into the object map (``/N`` pairs header + ``/First`` offset,
 §7.5.7), and ``/DecodeParms`` ``/Predictor`` de-prediction: PNG
 predictors 10..15 (per-row filter byte, Sub/Up/Average/Paeth
 reconstruction over /Columns×/Colors×/BitsPerComponent rows) and TIFF
-predictor 2 (§7.4.4.4). Object discovery stays SCAN-based (the regex
-scan + ObjStm expansion) rather than xref-driven — ``/Type /XRef``
-cross-reference streams are scanned over like any other stream object
-and their byte offsets are never needed, which also makes the kernel
-robust to the broken/rebuilt xref tables common in real crawls.
+predictor 2 (§7.4.4.4).
+
+Also handled (round 5): XREF-DRIVEN OBJECT PRECEDENCE for incrementally
+updated files — the ``startxref`` chain (classic §7.5.4 tables, §7.5.8
+``/Type /XRef`` streams, hybrid ``/XRefStm``, ``/Prev`` links) is walked
+newest-first and the newest revision's entry decides which generation of
+each object number is current (type-1 byte offsets re-delimited by the
+same logic as the forward scan; type-2 (objstm, index) slots resolved
+from the ObjStm expansion), so a superseded body can no longer win on
+byte order alone. Files with broken/rebuilt/absent xrefs — common in
+real crawls — keep the pure scan + ObjStm result (later flat definition
+wins, the flat incremental-update layout). ``/Encrypt``'d documents
+raise :class:`EncryptedPdfError` before any decode attempt.
 
 Also handled (round 4): FONT WIDTH METRICS — simple-font
 ``/FirstChar``+``/Widths`` (direct or indirect array, /MissingWidth
@@ -143,15 +151,64 @@ def is_pdf(payload: bytes) -> bool:
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 
 
-def _scan_objects(payload: bytes) -> dict:
-    """num -> object body, by FORWARD scan that skips declared-length
-    stream payloads — so binary stream data containing b'endobj' or a
+def _body_end(payload: bytes, body_start: int) -> int:
+    """Offset of the b'endobj' closing the object whose body starts at
+    ``body_start`` (-1: runs to EOF), skipping declared-length stream
+    payloads — so binary stream data containing b'endobj' or a
     b'N 0 obj' lookalike can never truncate or split an object (the same
     hazard _stream_bytes guards for b'endstream', one level up). Streams
     with an INDIRECT /Length (N 0 R — the value object may appear later in
     the file, so it cannot be resolved mid-scan) fall back to
     endstream-keyword delimiting; _stream_bytes resolves the actual value
-    afterwards, when every object is known."""
+    afterwards, when every object is known. Shared by the forward scan
+    AND xref-offset resolution so both delimit bodies identically."""
+    n = len(payload)
+    search_from = body_start
+    sm = _STREAM_START_RE.search(payload, body_start)
+    em_naive = payload.find(b"endobj", body_start)
+    if sm is not None and (em_naive == -1 or sm.start() < em_naive):
+        # the stream belongs to THIS object: jump over its payload
+        lm = _LENGTH_DIRECT_RE.search(payload[body_start : sm.start()])
+        if lm:
+            search_from = sm.end() + int(lm.group(1))
+        else:
+            es = payload.find(b"endstream", sm.end())
+            search_from = es if es != -1 else n
+    return payload.find(b"endobj", search_from)
+
+
+def _object_body_at(payload: bytes, offset: int):
+    """Parse ONE ``N g obj … endobj`` at a byte offset (as recorded by a
+    cross-reference table/stream): -> (object number, body bytes) or
+    (None, None) when no object header matches there. Leading PDF
+    whitespace is tolerated — real writers' offsets are exact, but a
+    rebuilt file may be off by an EOL."""
+    n = len(payload)
+    if not (0 <= offset < n):
+        return None, None
+    i = offset
+    while i < n and payload[i : i + 1] in b" \t\r\n\x00":
+        i += 1
+    m = _OBJ_START_RE.match(payload, i)
+    if m is None:
+        return None, None
+    body_start = m.end()
+    em = _body_end(payload, body_start)
+    return int(m.group(1)), payload[body_start : em if em != -1 else n]
+
+
+def _scan_objects(payload: bytes) -> dict:
+    """num -> object body: FORWARD scan over every ``N g obj`` (later
+    definitions overwrite earlier ones — correct for the flat
+    incremental-update layout, where appended revisions come last), then
+    /Type /ObjStm expansion, then — when the file carries a startxref
+    chain — XREF-DRIVEN PRECEDENCE (:func:`_apply_xref_overlay`): the
+    newest cross-reference section's entry decides WHICH definition of
+    each object number is current, covering the layouts byte order alone
+    gets wrong (a newer generation packed in an ObjStm while an older
+    flat one trails it, and vice versa). Files without a usable xref
+    (truncated, rebuilt, scanner-hostile — common in crawls) keep the
+    pure-scan result."""
     objs: dict = {}
     pos = 0
     n = len(payload)
@@ -161,24 +218,14 @@ def _scan_objects(payload: bytes) -> dict:
             break
         num = int(m.group(1))
         body_start = m.end()
-        search_from = body_start
-        sm = _STREAM_START_RE.search(payload, body_start)
-        em_naive = payload.find(b"endobj", body_start)
-        if sm is not None and (em_naive == -1 or sm.start() < em_naive):
-            # the stream belongs to THIS object: jump over its payload
-            lm = _LENGTH_DIRECT_RE.search(payload[body_start : sm.start()])
-            if lm:
-                search_from = sm.end() + int(lm.group(1))
-            else:
-                es = payload.find(b"endstream", sm.end())
-                search_from = es if es != -1 else n
-        em = payload.find(b"endobj", search_from)
+        em = _body_end(payload, body_start)
         if em == -1:
             objs[num] = payload[body_start:]
             break
         objs[num] = payload[body_start:em]
         pos = em + 6  # len(b"endobj")
-    _expand_object_streams(objs)
+    packed = _expand_object_streams(objs)
+    _apply_xref_overlay(payload, objs, packed)
     return objs
 
 
@@ -187,17 +234,24 @@ _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)\b")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)\b")
 
 
-def _expand_object_streams(objs: dict) -> None:
+def _expand_object_streams(objs: dict) -> dict:
     """Unpack every /Type /ObjStm object stream (PDF 32000-1 §7.5.7) into
     the object map: the decoded stream starts with /N whitespace-separated
     (objnum, relative-offset) integer pairs; object i's body runs from
     /First + offset_i to the next offset (last: to end of stream). Spec
     forbids streams INSIDE an object stream, so one expansion pass is
     complete — no recursion. Packed objects only fill numbers the
-    top-level scan did not already see (a direct definition wins, matching
-    incremental-update precedence without needing the xref). Malformed
-    object streams are skipped whole — per-document error isolation."""
-    for body in list(objs.values()):
+    top-level scan did not already see (a flat definition wins HERE; when
+    the file carries a usable xref chain, :func:`_apply_xref_overlay`
+    then imposes the spec's real precedence — the newest revision's
+    entry — for both the flat-newer and packed-newer layouts). Malformed
+    object streams are skipped whole — per-document error isolation.
+
+    Returns {objstm object number: [(member objnum, body), …] in packed
+    order} so type-2 xref entries ((objstm, index) slots) can be resolved
+    against exactly the bytes unpacked here."""
+    packed: dict = {}
+    for snum, body in list(objs.items()):
         sm = _STREAM_START_RE.search(body)
         head = body[: sm.start()] if sm else body
         if not _OBJSTM_RE.search(head):
@@ -216,9 +270,244 @@ def _expand_object_streams(objs: dict) -> None:
         except ValueError:
             continue
         pairs = list(zip(ints[0::2], ints[1::2]))[:count]
+        members = []
         for i, (onum, off) in enumerate(pairs):
             end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(data)
-            objs.setdefault(onum, data[first + off : end])
+            mbody = data[first + off : end]
+            members.append((onum, mbody))
+            objs.setdefault(onum, mbody)
+        packed[snum] = members
+    return packed
+
+
+# ---------------------------------------------------------------------------
+# cross-reference chain (PDF 32000-1 §7.5.4 classic tables, §7.5.8 xref
+# streams, §7.5.8.4 hybrid /XRefStm): object PRECEDENCE for
+# incrementally-updated files + /Encrypt detection
+
+
+class EncryptedPdfError(ValueError):
+    """The document's trailer carries /Encrypt: content streams are
+    RC4/AES ciphertext, so decoding without the crypt filter would emit
+    garbage items (or an absorbed exception with a misleading message).
+    Raised BEFORE any decode attempt; the dispatcher labels the row
+    kind='error', error='encrypted' — graceful, honest isolation."""
+
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)\b")
+_XREFSTM_RE = re.compile(rb"/XRefStm\s+(\d+)\b")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\b")
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[((?:\s*\d+)+)\s*\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)\b")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])")
+_SUBSEC_RE = re.compile(rb"[ \t\r\n]*(\d+)[ \t]+(\d+)[ \t]*[\r\n]+")
+_MAX_XREF_ROWS = 1 << 22  # adversarial-count budget (4M objects is plenty)
+
+
+def _balanced_dict(payload: bytes, i: int, window: int = 64) -> bytes:
+    """The << … >> dict starting within ``window`` bytes of i, delimited
+    by nesting depth (trailer dicts routinely nest /ID arrays and
+    sub-dicts). b'' when none starts there."""
+    s = payload.find(b"<<", i, i + window)
+    if s == -1:
+        return b""
+    j, depth, n = s, 0, len(payload)
+    while j < n - 1:
+        two = payload[j : j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return payload[s:j]
+        else:
+            j += 1
+    return payload[s:]
+
+
+def _parse_classic_xref(payload: bytes, i: int):
+    """Classic ``xref`` table section at i (just past the keyword):
+    subsection headers ``start count`` followed by count 20-byte entries
+    ``nnnnnnnnnn ggggg n|f``; then the ``trailer`` dict. -> (entries,
+    prev, xrefstm, encrypted) or None on malformed structure."""
+    out = []
+    while True:
+        m = _SUBSEC_RE.match(payload, i)
+        if m is None:
+            break
+        start, count = int(m.group(1)), int(m.group(2))
+        if count > _MAX_XREF_ROWS:
+            return None
+        i = m.end()
+        for k in range(count):
+            em = _XREF_ENTRY_RE.match(payload, i)
+            if em is None:
+                return None
+            if em.group(3) == b"n":
+                out.append((start + k, ("o", int(em.group(1)))))
+            i = em.end()
+    tpos = payload.find(b"trailer", i, i + 64)
+    if tpos == -1:
+        return None
+    tdict = _balanced_dict(payload, tpos + 7)
+    prev = int(m.group(1)) if (m := _PREV_RE.search(tdict)) else None
+    xrefstm = int(m.group(1)) if (m := _XREFSTM_RE.search(tdict)) else None
+    return out, prev, xrefstm, bool(_ENCRYPT_RE.search(tdict))
+
+
+def _parse_xref_stream(payload: bytes, i: int):
+    """/Type /XRef cross-reference STREAM object at offset i: fields per
+    /W [w1 w2 w3] (w1=0 ⇒ implicit type 1), subsections per /Index
+    (default [0 /Size]); type 1 = (offset), type 2 = (objstm, index).
+    The stream decodes through the ordinary filter path — Flate +
+    /Predictor de-prediction included. -> (entries, prev, None,
+    encrypted) or None."""
+    num, body = _object_body_at(payload, i)
+    if body is None:
+        return None
+    sm = _STREAM_START_RE.search(body)
+    head = body[: sm.start()] if sm else body
+    if not _XREF_TYPE_RE.search(head):
+        return None
+    wm = _W_RE.search(head)
+    if wm is None:
+        return None
+    w1, w2, w3 = (int(g) for g in wm.groups())
+    rowlen = w1 + w2 + w3
+    if rowlen == 0 or max(w1, w2, w3) > 8:
+        return None
+    data = _stream_bytes(body)
+    im = _INDEX_RE.search(head)
+    if im is not None:
+        nums = [int(t) for t in im.group(1).split()]
+        subs = list(zip(nums[0::2], nums[1::2]))
+    else:
+        szm = _SIZE_RE.search(head)
+        if szm is None:
+            return None
+        subs = [(0, int(szm.group(1)))]
+    out = []
+    pos = 0
+    for start, count in subs:
+        if count > _MAX_XREF_ROWS:
+            return None
+        for k in range(count):
+            row = data[pos : pos + rowlen]
+            if len(row) < rowlen:
+                break  # truncated stream: keep the rows that decoded
+            pos += rowlen
+            t = int.from_bytes(row[:w1], "big") if w1 else 1
+            f2 = int.from_bytes(row[w1 : w1 + w2], "big")
+            f3 = int.from_bytes(row[w1 + w2 :], "big")
+            if t == 1:
+                out.append((start + k, ("o", f2)))
+            elif t == 2:
+                out.append((start + k, ("s", f2, f3)))
+    prev = int(m.group(1)) if (m := _PREV_RE.search(head)) else None
+    return out, prev, None, bool(_ENCRYPT_RE.search(head))
+
+
+def _parse_xref_chain(payload: bytes):
+    """Walk the cross-reference chain from the LAST ``startxref`` (the
+    newest revision) through /XRefStm (hybrid files: the stream
+    supplements — but does not override — its table section, §7.5.8.4)
+    and /Prev links, newest first. First definition of an object number
+    wins — exactly the spec's incremental-update precedence. -> (entries:
+    {objnum: ('o', offset) | ('s', objstm_num, index)}, encrypted).
+    ({}, False) for files with no startxref (scan-only fallback)."""
+    ms = list(_STARTXREF_RE.finditer(payload[-2048:]))
+    if not ms:
+        return {}, False
+    entries: dict = {}
+    encrypted = False
+    queue = [int(ms[-1].group(1))]
+    seen: set = set()
+    while queue and len(seen) < 64:  # revision budget: no /Prev loops
+        off = queue.pop(0)
+        if off in seen or not (0 <= off < len(payload)):
+            continue
+        seen.add(off)
+        i = off
+        n = len(payload)
+        while i < n and payload[i : i + 1] in b" \t\r\n\x00":
+            i += 1
+        try:
+            if payload[i : i + 4] == b"xref" and not _OBJ_START_RE.match(payload, i):
+                sec = _parse_classic_xref(payload, i + 4)
+            else:
+                sec = _parse_xref_stream(payload, i)
+        except Exception:
+            sec = None
+        if sec is None:
+            continue
+        sec_entries, prev, xrefstm, enc = sec
+        encrypted = encrypted or enc
+        for onum, ent in sec_entries:
+            entries.setdefault(onum, ent)
+        # visit order = precedence: this section, its hybrid stream, then
+        # the previous revision
+        if xrefstm is not None:
+            queue.insert(0, xrefstm)
+            if prev is not None:
+                queue.insert(1, prev)
+        elif prev is not None:
+            queue.insert(0, prev)
+    return entries, encrypted
+
+
+_TRAILER_KW_RE = re.compile(rb"trailer\b")
+
+
+def _is_encrypted_tail(payload: bytes) -> bool:
+    """Cheap /Encrypt probe over the file TAIL (last 4 KB — where every
+    revision's newest trailer lives; spec requires /Encrypt in each
+    update's trailer, so the newest one always carries it). Scoped to
+    trailer DICTS in the tail window rather than the whole payload so a
+    literal '/Encrypt' inside some content stream can never false-
+    positive a good document into an error row. The xref chain walk
+    (:func:`_parse_xref_chain`) independently covers xref-stream files,
+    whose /Encrypt sits in the stream dict, not a classic trailer."""
+    tail = payload[-4096:]
+    for m in _TRAILER_KW_RE.finditer(tail):
+        if _ENCRYPT_RE.search(_balanced_dict(tail, m.end())):
+            return True
+    return False
+
+
+def _apply_xref_overlay(payload: bytes, objs: dict, packed: dict) -> None:
+    """Impose xref precedence on the scanned object map: for every object
+    the chain resolves, replace the scan's pick with the body the NEWEST
+    cross-reference entry designates — a byte offset (re-delimited by the
+    same logic as the scan, so well-formed files are byte-identical) or
+    an (objstm, index) slot from the expansion's packed map. Any entry
+    that fails to resolve (offset into garbage, missing objstm, index out
+    of range, wrong object number at the offset) leaves the scan result
+    in place — rebuilt/broken xrefs degrade to round-4 behavior, never to
+    data loss. Raises EncryptedPdfError when any trailer in the chain
+    carries /Encrypt."""
+    try:
+        entries, encrypted = _parse_xref_chain(payload)
+    except Exception:
+        return
+    if encrypted:
+        raise EncryptedPdfError("encrypted")
+    for onum, ent in entries.items():
+        try:
+            if ent[0] == "o":
+                got, body = _object_body_at(payload, ent[1])
+                if got == onum and body is not None:
+                    objs[onum] = body
+            else:
+                members = packed.get(ent[1])
+                if members is not None and 0 <= ent[2] < len(members) and members[ent[2]][0] == onum:
+                    objs[onum] = members[ent[2]][1]
+        except Exception:
+            continue
 
 
 def _stream_bytes(obj_body: bytes, objs: dict | None = None) -> bytes:
@@ -1396,7 +1685,12 @@ def extract_pdf(payload: bytes, markdown: bool = False) -> Tuple[str, List[dict]
     size crosses the heading thresholds are prefixed '# ' / '## ' (the
     analog of the reference's PDF->markdown conversion); span offsets
     include the prefixes so text[s:e] still reconstructs each region.
+
+    Raises :class:`EncryptedPdfError` for /Encrypt'd documents — before
+    any decode attempt, so an RC4/AES file is labeled, never garbled.
     """
+    if _is_encrypted_tail(payload):
+        raise EncryptedPdfError("encrypted")
     pages = _split_pages(payload)
     multi = len(pages) > 1
 

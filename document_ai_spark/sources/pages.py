@@ -11,22 +11,28 @@ sandbox; identical directory layout).
 
 Row mix (FIXTURES.md §1): ~80% templated HTML (link-dense nav/header/
 footer/ads boilerplate + a text-dense <article> main block with <h2>
-section headings and a closing <ul> list), ~10% synthetic PDFs — 30%
-simple two-column Td/Tj pages, 30% multi-page documents exercising the
+section headings and a closing <ul> list), ~10% synthetic PDFs — 22%
+simple two-column Td/Tj pages, 22% multi-page documents exercising the
 widened grammar (/Kids order != byte order, /Contents indirection, Tm,
 accumulated Td, TL/T*/', TJ kerning arrays, escaped parens, an 18pt title
 line, page-2 encodings rotating Flate / [ASCII85+Flate] chain / LZW with
-indirect /Length), 20% byte-coded-font pages whose /ToUnicode CMap maps
-+3-shifted bytes back to text, 20% MODERN (PDF 1.5+, corpus v8) files
+indirect /Length), 14% byte-coded-font pages whose /ToUnicode CMap maps
++3-shifted bytes back to text, 19% MODERN (PDF 1.5+, corpus v8) files
 whose dict objects all live inside a /Type /ObjStm (half predictor'd:
 Flate + PNG /Predictor 12) with a real /Type /XRef cross-reference
 stream, 15% WIDTH-METRICS pages (corpus v9: /FirstChar+/Widths fonts,
 words written as segmented show ops with positioned — not typed — word
 gaps and sub-180 TJ kern spaces, correct only under real glyph
-advances) — a Zipf long tail of page sizes with a handful of giant pages
+advances), 8% INCREMENTALLY-UPDATED files (corpus v10: two revisions,
+the newer generation of the page object ObjStm-packed behind an xref
+stream whose /Prev chains to the original classic table — the CURRENT
+text is reachable only via xref-driven precedence) — a Zipf long tail
+of page sizes with a handful of giant pages
 (x100 median — exercises salted repartitioning), and one of each edge case:
 empty, whitespace-only, truncated tags, invalid UTF-8, no-main-block, a
-byte-duplicate payload under two urls, and a zero-text-object PDF.
+byte-duplicate payload under two urls, a zero-text-object PDF, and a
+static /Encrypt'd PDF the kernel must LABEL (error='encrypted'), never
+decode.
 
 Everything derives from ``random.Random(seed)`` — no wall clock, no
 PYTHONHASHSEED dependence, no network. Same (seed, n_docs) => same bytes.
@@ -42,7 +48,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 9
+CORPUS_VERSION = 10
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -603,6 +609,130 @@ def _pdf_page_v5(rng: random.Random, vocab: List[str], n_lines: int, flat: bool 
     )
 
 
+def _pdf_page_v6(
+    rng: random.Random, vocab: List[str], n_lines: int, single_revision: bool = False
+) -> bytes:
+    """INCREMENTALLY-UPDATED PDF (corpus v10): the file carries TWO
+    revisions of the same document, the way in-place editors save —
+
+      * revision 1 (original): flat objects — pages tree (1), page (2)
+        with /Contents 3, content stream 3 holding the SUPERSEDED text —
+        closed by a CLASSIC xref table + trailer + startxref;
+      * revision 2 (appended): a replacement generation of page object 2
+        (now /Contents 5) packed inside a /Type /ObjStm, a new flat
+        content stream 5 with the CURRENT text, and a /Type /XRef
+        cross-reference STREAM whose /Prev links the classic table —
+        the hybrid old-object-flat / new-object-PACKED layout where byte
+        order alone picks the stale body (a flat definition precedes the
+        packed one, and setdefault-style expansion would keep it): only
+        xref-driven precedence (newest revision's type-2 entry) reads
+        the update.
+
+    ``single_revision=True`` emits the post-update state as a clean flat
+    one-revision file from the SAME rng draws — the byte-identity twin
+    pinned by tests (updated file must extract its CURRENT text, not the
+    revision-1 text)."""
+    import zlib
+
+    def draw_lines(n: int) -> List[str]:
+        out, y = [], 700
+        for _ in range(max(3, n)):
+            t = _sentence(rng, vocab, rng.randint(4, 9)).replace("(", "").replace(")", "")
+            out.append(f"BT /F1 12 Tf 72 {y} Td ({t}) Tj ET")
+            y -= 40 if rng.random() < 0.2 else 14
+            if y <= 60:
+                break
+        return out
+
+    title = _sentence(rng, vocab, rng.randint(3, 6)).replace("(", "").replace(")", "")
+    frame = [
+        "BT /F1 10 Tf 72 760 Td (Running Header) Tj ET",
+        "BT /F1 8 Tf 72 40 Td (page 1) Tj ET",
+        f"BT /F1 18 Tf 72 748 Td ({title}) Tj ET",
+    ]
+    old_lines = draw_lines(n_lines)          # revision-1 body (superseded)
+    new_lines = draw_lines(n_lines)          # revision-2 body (current)
+    old_content = "\n".join(frame + old_lines).encode("utf-8")
+    new_content = "\n".join(frame + new_lines).encode("utf-8")
+
+    content5 = (
+        b"5 0 obj\n<</Length %d>>\nstream\n" % len(new_content)
+        + new_content + b"\nendstream\nendobj\n"
+    )
+    if single_revision:
+        return (
+            b"%PDF-1.5\n"
+            b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n"
+            b"2 0 obj\n<</Type /Page /Contents 5 0 R>>\nendobj\n"
+            + content5 + b"%%EOF\n"
+        )
+
+    # --- revision 1: flat objects + classic xref table
+    buf = b"%PDF-1.5\n"
+    offsets = {}
+    for num, body in (
+        (1, b"<</Type /Pages /Kids [2 0 R]>>\nendobj\n"),
+        (2, b"<</Type /Page /Contents 3 0 R>>\nendobj\n"),
+        (3, b"<</Length %d>>\nstream\n" % len(old_content) + old_content
+            + b"\nendstream\nendobj\n"),
+    ):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + body
+    xref1_off = len(buf)
+    buf += (
+        b"xref\n0 4\n0000000000 65535 f \n"
+        + b"".join(b"%010d 00000 n \n" % offsets[n] for n in (1, 2, 3))
+        + b"trailer\n<</Size 4 /Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n" % xref1_off
+    )
+
+    # --- revision 2 (appended): new generation of obj 2 PACKED in ObjStm 9
+    member = b"<</Type /Page /Contents 5 0 R>>"
+    hdr = b"2 0"
+    comp = zlib.compress(hdr + b"\n" + member + b"\n")
+    objstm = (
+        b"9 0 obj\n<</Type /ObjStm /N 1 /First %d /Filter /FlateDecode /Length %d>>\nstream\n"
+        % (len(hdr) + 1, len(comp)) + comp + b"\nendstream\nendobj\n"
+    )
+    off9 = len(buf)
+    buf += objstm
+    off5 = len(buf)
+    buf += content5
+    off10 = len(buf)
+    rows = [
+        (2, bytes((2,)) + (9).to_bytes(3, "big") + bytes((0,))),
+        (5, bytes((1,)) + off5.to_bytes(3, "big") + bytes((0,))),
+        (9, bytes((1,)) + off9.to_bytes(3, "big") + bytes((0,))),
+        (10, bytes((1,)) + off10.to_bytes(3, "big") + bytes((0,))),
+    ]
+    xcomp = zlib.compress(b"".join(r for _, r in rows))
+    index = b" ".join(b"%d 1" % n for n, _ in rows)
+    buf += (
+        b"10 0 obj\n<</Type /XRef /Size 11 /Index [%s] /W [1 3 1] /Root 1 0 R "
+        b"/Prev %d /Filter /FlateDecode /Length %d>>\nstream\n"
+        % (index, xref1_off, len(xcomp))
+        + xcomp + b"\nendstream\nendobj\n"
+        + b"startxref\n%d\n%%%%EOF\n" % off10
+    )
+    return buf
+
+
+# a static /Encrypt'd document (AES placeholder ciphertext in the content
+# stream — the kernel must LABEL it, never decode it): classic layout whose
+# trailer carries /Encrypt, the round-5 labeled-isolation edge case
+_ENCRYPTED_PDF = (
+    b"%PDF-1.6\n"
+    b"1 0 obj\n<</Type /Pages /Kids [2 0 R]>>\nendobj\n"
+    b"2 0 obj\n<</Type /Page /Contents 3 0 R>>\nendobj\n"
+    b"3 0 obj\n<</Length 32>>\nstream\n"
+    b"\x8f\x1b\xc2\x99\x07\xd4\x55\xaa\x3e\x60\x12\xf7\x84\x4b\xcd\x02"
+    b"\x71\xe8\x9a\x33\xb5\x0c\xd6\x47\xf2\x18\xae\x6b\x90\x5d\x24\xc8"
+    b"\nendstream\nendobj\n"
+    b"4 0 obj\n<</Filter /Standard /V 4 /R 4 /Length 128>>\nendobj\n"
+    b"trailer\n<</Size 5 /Root 1 0 R /Encrypt 4 0 R /ID [<a1> <a1>]>>\n"
+    b"%%EOF\n"
+)
+
+
 _EDGE_CASES = [
     ("empty", b""),
     ("whitespace", b"   \n\t  \n"),
@@ -610,6 +740,7 @@ _EDGE_CASES = [
     ("invalid-utf8", b"<html><body><article><p>Valid start \xff\xfe\x80 invalid bytes but extractable text continues here for a while.</p></article>"),
     ("no-main", b'<html><body><nav><a href="/x">a</a><a href="/y">b</a></nav><footer><a href="/z">c</a></footer></body></html>'),
     ("pdf-notext", b"%PDF-1.4\n1 0 obj\n<</Type/Page>>\n%%EOF\n"),
+    ("pdf-encrypted", _ENCRYPTED_PDF),
 ]
 
 
@@ -645,16 +776,18 @@ def generate_rows(n_docs: int, seed: int = 42) -> Iterator[dict]:
             n_paras = rng.randint(20, 60)
         if rng.random() < 0.10:
             kind = rng.random()
-            if kind < 0.25:
+            if kind < 0.22:
                 payload = _pdf_page(rng, vocab, max(4, n_paras))
-            elif kind < 0.5:
+            elif kind < 0.44:
                 payload = _pdf_page_v2(rng, vocab, max(4, n_paras))
-            elif kind < 0.65:
+            elif kind < 0.58:
                 payload = _pdf_page_v3(rng, vocab, max(4, n_paras))
-            elif kind < 0.85:
+            elif kind < 0.77:
                 payload = _pdf_page_v4(rng, vocab, max(4, n_paras))
-            else:
+            elif kind < 0.92:
                 payload = _pdf_page_v5(rng, vocab, max(4, n_paras))
+            else:
+                payload = _pdf_page_v6(rng, vocab, max(4, n_paras))
         else:
             payload, _ = _html_page(rng, vocab, n_paras)
         yield _row(rng, i, payload, lang=lang, tag=None)

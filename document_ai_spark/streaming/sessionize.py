@@ -385,7 +385,14 @@ def run_sessionize_stream_watermarked(
     the batch twin's sessions over the non-dropped events — full drain,
     in event-time order per user. With ``flush=False`` sessions still
     pending at termination stay in state (resume the checkpoint to
-    continue absorbing arrivals)."""
+    continue absorbing arrivals).
+
+    The sentinels are staged as ``zzz-wm-flush-N.parquet`` files INSIDE
+    ``events_path`` (the flat file source only lists that one directory)
+    and are DELETED once the query terminates, so other readers of the
+    events directory never observe the synthetic rows — the mutation is
+    scoped to the query's lifetime. (The memory sink holds the results;
+    the returned DataFrame does not re-read the files.)"""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     # the state fn compares pandas naive .timestamp() (treated as UTC)
@@ -490,6 +497,18 @@ def run_sessionize_stream_watermarked(
         .start()
     )
     q.awaitTermination()
+    if flush:
+        # restore the caller's input directory: the memory sink already
+        # holds every emitted row, so the sentinel files are dead weight
+        # that would otherwise leak into any other reader of events_path
+        import glob as _glob
+        import os as _os
+
+        for f in _glob.glob(_os.path.join(events_path, "zzz-wm-flush-*.parquet")):
+            try:
+                _os.remove(f)
+            except OSError:
+                pass  # best-effort: a vanished file is already clean
     return spark.sql(f"SELECT * FROM {query_name}").filter(
         F.col("user_id") != F.lit(FLUSH_USER_ID)
     )

@@ -1121,3 +1121,131 @@ def test_descendantfonts_indirect_array():
     (stream, fonts), = _split_pages(payload)
     items = _parse_items(stream, fonts)
     assert [(it[0], it[4]) for it in items] == [(100, 106)]  # 600u @ 10pt
+
+
+# ---------------------------------------------------------------------------
+# round 5: xref-driven object precedence (incremental updates) + /Encrypt
+
+
+def _classic_rev1(old_text: bytes) -> tuple:
+    """Flat revision-1 file (pages tree, page -> contents 3, classic xref
+    table + trailer + startxref). -> (bytes, xref offset)."""
+    content = b"BT /F1 12 Tf 72 400 Td (" + old_text + b") Tj ET"
+    buf = b"%PDF-1.5\n"
+    offsets = {}
+    for num, body in (
+        (1, b"<</Type /Pages /Kids [2 0 R]>>\nendobj\n"),
+        (2, b"<</Type /Page /Contents 3 0 R>>\nendobj\n"),
+        (3, b"<</Length %d>>\nstream\n" % len(content) + content + b"\nendstream\nendobj\n"),
+    ):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + body
+    xref_off = len(buf)
+    buf += (
+        b"xref\n0 4\n0000000000 65535 f \n"
+        + b"".join(b"%010d 00000 n \n" % offsets[n] for n in (1, 2, 3))
+        + b"trailer\n<</Size 4 /Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n" % xref_off
+    )
+    return buf, xref_off
+
+
+def _append_update(rev1: bytes, xref1_off: int, new_text: bytes) -> bytes:
+    """Append revision 2: replacement page object 2 (-> /Contents 5)
+    PACKED in an ObjStm, flat content 5, xref STREAM with /Prev — the
+    layout where byte order alone keeps the stale flat page object."""
+    import zlib
+
+    content = b"BT /F1 12 Tf 72 400 Td (" + new_text + b") Tj ET"
+    content5 = (
+        b"5 0 obj\n<</Length %d>>\nstream\n" % len(content) + content + b"\nendstream\nendobj\n"
+    )
+    member = b"<</Type /Page /Contents 5 0 R>>"
+    comp = zlib.compress(b"2 0\n" + member + b"\n")
+    objstm = (
+        b"9 0 obj\n<</Type /ObjStm /N 1 /First 4 /Filter /FlateDecode /Length %d>>\nstream\n"
+        % len(comp) + comp + b"\nendstream\nendobj\n"
+    )
+    buf = rev1
+    off9 = len(buf); buf += objstm
+    off5 = len(buf); buf += content5
+    off10 = len(buf)
+    rows = [
+        (2, bytes((2,)) + (9).to_bytes(3, "big") + bytes((0,))),
+        (5, bytes((1,)) + off5.to_bytes(3, "big") + bytes((0,))),
+        (9, bytes((1,)) + off9.to_bytes(3, "big") + bytes((0,))),
+        (10, bytes((1,)) + off10.to_bytes(3, "big") + bytes((0,))),
+    ]
+    xcomp = zlib.compress(b"".join(r for _, r in rows))
+    index = b" ".join(b"%d 1" % n for n, _ in rows)
+    return buf + (
+        b"10 0 obj\n<</Type /XRef /Size 11 /Index [%s] /W [1 3 1] /Root 1 0 R "
+        b"/Prev %d /Filter /FlateDecode /Length %d>>\nstream\n"
+        % (index, xref1_off, len(xcomp))
+        + xcomp + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % off10
+    )
+
+
+def test_incremental_update_newest_generation_wins():
+    rev1, xoff = _classic_rev1(b"OLD superseded body text")
+    updated = _append_update(rev1, xoff, b"NEW current body text")
+    assert extract_pdf(rev1)[0] == "OLD superseded body text"
+    assert extract_pdf(updated)[0] == "NEW current body text"
+
+
+def test_incremental_update_matches_single_revision_twin():
+    # generator twin: same draws, one clean revision == two-revision file
+    import random
+
+    from document_ai_spark.sources.pages import _BASE_VOCAB, _pdf_page_v6
+
+    for seed in (0, 7, 99):
+        upd = _pdf_page_v6(random.Random(seed), _BASE_VOCAB["en"], 8)
+        twin = _pdf_page_v6(random.Random(seed), _BASE_VOCAB["en"], 8, single_revision=True)
+        t_upd, s_upd = extract_pdf(upd)
+        t_twin, s_twin = extract_pdf(twin)
+        assert t_upd and t_upd == t_twin
+        assert s_upd == s_twin
+
+
+def test_broken_xref_falls_back_to_scan():
+    # startxref points into garbage: round-4 behavior (flat scan, later
+    # definition wins) must survive untouched
+    rev1, xoff = _classic_rev1(b"scan fallback body")
+    broken = rev1.replace(b"startxref\n%d" % xoff, b"startxref\n999999")
+    assert extract_pdf(broken)[0] == "scan fallback body"
+
+
+def test_classic_xref_flat_update_precedence():
+    # both generations FLAT, classic tables chained by /Prev: xref (and
+    # the scan fallback) agree — newest wins
+    rev1, xoff1 = _classic_rev1(b"first body")
+    content = b"BT /F1 12 Tf 72 400 Td (second body) Tj ET"
+    off3 = len(rev1)
+    buf = rev1 + b"3 0 obj\n<</Length %d>>\nstream\n" % len(content) + content + b"\nendstream\nendobj\n"
+    xoff2 = len(buf)
+    buf += (
+        b"xref\n3 1\n%010d 00000 n \ntrailer\n<</Size 4 /Root 1 0 R /Prev %d>>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (off3, xoff1, xoff2)
+    )
+    assert extract_pdf(buf)[0] == "second body"
+
+
+def test_encrypted_pdf_is_labeled_not_decoded():
+    from document_ai_spark.sources.pages import _ENCRYPTED_PDF
+
+    doc_hash, kind, text, spans, n_chars, n_blocks, err = extract_document(_ENCRYPTED_PDF)
+    assert kind == "error" and err == "encrypted"
+    assert text == "" and spans == [] and n_chars == 0
+
+    # /Encrypt via an xref STREAM dict (no classic trailer in the tail)
+    rev1, xoff = _classic_rev1(b"body")
+    updated = _append_update(rev1, xoff, b"new body")
+    enc = updated.replace(b"/W [1 3 1] /Root 1 0 R", b"/W [1 3 1] /Root 1 0 R /Encrypt 4 0 R")
+    assert extract_document(enc)[6] == "encrypted"
+
+
+def test_encrypt_inside_content_stream_is_not_a_false_positive():
+    # the literal '/Encrypt' INSIDE page content must not label the doc:
+    # detection is scoped to trailer dicts / xref chain heads
+    payload = pdf(obj(72, 700, "mentions /Encrypt in running text prose"))
+    assert extract_document(payload)[1] == "pdf"

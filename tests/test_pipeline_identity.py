@@ -87,7 +87,10 @@ def test_partition_layout_independence(spark, pages_dir, tmp_path):
 def test_kind_mix_and_no_errors(spark, pages_dir):
     out = extract_pages(read_pages(spark, pages_dir))
     kinds = {r["kind"]: r["n"] for r in out.groupBy("kind").agg(F.count("*").alias("n")).collect()}
-    assert kinds.get("error", 0) == 0
+    # corpus v10 plants exactly ONE deliberate error row: the /Encrypt'd
+    # PDF, which must surface LABELED — no other document may error
+    errs = out.filter(F.col("kind") == "error").select("url", "error").collect()
+    assert [(("pdf-encrypted" in r.url), r.error) for r in errs] == [(True, "encrypted")]
     assert kinds.get("html", 0) > 0 and kinds.get("pdf", 0) > 0 and kinds.get("empty", 0) >= 3
 
 

@@ -226,6 +226,13 @@ def test_sessionize_watermarked_out_of_order_batches_match_batch_twin(spark, tmp
     # and the session it could have corrupted has its true boundaries
     assert (1, t0 + dt.timedelta(minutes=200), t0 + dt.timedelta(minutes=210), 3, 11.0) in got
     assert len(got) == 5  # u1: [100], [200-210], [400]; u2: [0,5], [120]
+    # input-dir hygiene: the runner's sentinel flush files are removed
+    # after termination, so any other consumer of the events directory
+    # never observes the synthetic FLUSH_USER_ID rows
+    import glob
+
+    assert glob.glob(os.path.join(src, "zzz-wm-flush-*.parquet")) == []
+    assert spark.read.parquet(src).filter(F.col("user_id") < 0).count() == 0
 
 
 def test_sessionize_watermarked_drops_events_beyond_delay(spark, tmp_path):
