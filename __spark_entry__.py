@@ -944,7 +944,7 @@ def q52_bigram_lm_broadcast(spark, sf_dir):
 def _q48_media_dir() -> str:
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v6")
+    return os.path.join(tempfile.gettempdir(), "da_spark_media_truth_v7")
 
 
 def _q48_make_media_corpus(path: str, n: int = 180) -> None:
@@ -955,6 +955,9 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
     container (some with restart intervals), and PROGRESSIVE (SOF2)
     variants of both; GIFs alternate flat and interlaced; every third
     GIF slot is instead an MP4 shell whose box-tree metadata is the
+    truth; every third PNG slot is instead a WEBP — two of those three
+    lossless VP8L rotating the encoder's palette/cache/RLE/meta paths,
+    the third a lossy VP8 shell whose keyframe-header dims are the
     truth), truth = the encode parameters. No RNG —
     everything is a formula of media_id."""
     import numpy as np
@@ -972,6 +975,8 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
         encode_png,
         encode_png_adam7,
         encode_wav,
+        encode_webp_vp8_shell,
+        encode_webp_vp8l,
     )
 
     ids, kinds, widths, heights, durs, payloads = [], [], [], [], [], []
@@ -979,9 +984,29 @@ def _q48_make_media_corpus(path: str, n: int = 180) -> None:
         kind = ("png", "bmp", "wav", "jpeg", "jpeg", "gif")[i % 6]
         if kind == "gif" and (i // 6) % 3 == 2:
             kind = "mp4"  # every third slot-5 row: video-container probe
+        if kind == "png" and (i // 6) % 3 == 1:
+            kind = "webp"  # every third slot-0 row: RFC 9649 decode/probe
         ids.append(i)
         kinds.append(kind)
-        if kind == "mp4":
+        if kind == "webp":
+            w = 16 + (i * 5) % 48
+            h = 16 + (i * 7) % 48
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+            img = np.add.outer(np.arange(h) * (1 + i % 9), np.arange(w) * 3).astype(
+                np.uint8
+            )
+            v = (i // 18) % 3
+            if v == 2:  # lossy VP8 shell: header dims are the truth
+                payloads.append(encode_webp_vp8_shell(w, h))
+            elif v == 1:  # VP8L exercising cache + RLE + meta paths
+                payloads.append(
+                    encode_webp_vp8l(img, cache_bits=4, rle=True, meta_bits=2)
+                )
+            else:  # plain VP8L (subtract-green + literals)
+                payloads.append(encode_webp_vp8l(img))
+        elif kind == "mp4":
             w = 320 + (i * 5) % 640
             h = 180 + (i * 7) % 360
             d = 1000 + i * 37

@@ -3,7 +3,8 @@
 The container has no PIL/ffmpeg, but these public formats need only
 zlib + struct + numpy + the stdlib ``wave`` module, so the multimodal
 operator's decode seam (operators/multimodal.py) runs a REAL decoder for
-them — the external-codec seam now covers only MP4/WebP and friends.
+them — the external-codec seam now covers only lossy-frame decode
+(MP4 video, lossy VP8) and the exotic tail (HEIC/AVIF/...).
 
 Scope (documented):
   * PNG (RFC 2083 / ISO 15948): 8-bit depth, color types 0 (gray),
@@ -23,6 +24,11 @@ Scope (documented):
   * MP4 (ISO-BMFF): METADATA probe only — box-tree walk to true
     width/height (tkhd) and duration (mvhd); frame decode genuinely
     needs an external codec and stays behind the null-feature seam.
+  * WebP (RFC 9649, kernel/webp.py — re-exported here): full LOSSLESS
+    (VP8L) decode — prefix codes, LZ77 + distance map, color cache,
+    meta prefix codes, all four transforms — plus header-probe true
+    dimensions for lossy VP8 keyframes and VP8X extended containers
+    (lossy frame decode = external codec, the MP4 treatment).
 
 Every decoder is a total-with-ValueError pure function of the bytes —
 no RNG, no wall clock — so features are byte-identical at any
@@ -52,6 +58,12 @@ from document_ai_spark.kernel.jpeg import (  # noqa: F401  (re-export)
     encode_jpeg_progressive,
     encode_jpeg_progressive_420,
 )
+from document_ai_spark.kernel.webp import (  # noqa: F401  (re-export)
+    decode_webp,
+    encode_webp_vp8_shell,
+    encode_webp_vp8l,
+    probe_webp,
+)
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -78,6 +90,8 @@ def sniff_media(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return "unknown"
 
 

@@ -12,12 +12,14 @@ extraction stage. Two decode paths:
     where no codec exists.
   * ``decode_stub=False``: REAL decoding for the formats pure
     stdlib+numpy can handle — PNG (zlib inflate + scanline unfilter),
-    baseline+progressive JPEG (huffman + IDCT, kernel/jpeg.py),
-    uncompressed 24-bit
+    baseline+progressive JPEG (huffman + IDCT, kernel/jpeg.py), GIF,
+    lossless WebP (VP8L, kernel/webp.py), uncompressed 24-bit
     BMP, and 16-bit PCM WAV (kernel/media.py; no PIL/ffmpeg needed) —
     emitting true dimensions / duration and luminance/amplitude
-    histogram features. Formats that genuinely need an external codec
-    (MP4/WebP/...) sniff as 'unknown' (or isolate via
+    histogram features; MP4 and lossy-VP8 WebP get true header
+    dimensions (box-tree / keyframe probe) with null features. Formats
+    that genuinely need an external codec (HEIC/AVIF/...) sniff as
+    'unknown' (or isolate via
     ValueError) and yield a null-feature row (per-payload isolation,
     same contract as the extraction kernel); that row is exactly where
     PIL/ffmpeg would plug in.
@@ -119,6 +121,15 @@ def media_features(
                 # metadata is REAL (box-tree probe); frame features need
                 # an external codec -> None, the documented seam
                 return kind, w, h, dur, None
+            if kind == "webp":
+                try:
+                    w, h, gray = M.decode_webp(b)  # lossless: full decode
+                    return kind, w, h, 0, M.image_features(gray)
+                except ValueError:
+                    # lossy VP8 / VP8X: true header dims, features behind
+                    # the external-codec seam (the MP4 treatment)
+                    w, h, _variant = M.probe_webp(b)
+                    return kind, w, h, 0, None
             if kind == "wav":
                 n, rate, samples = M.decode_wav(b)
                 dur = (n * 1000) // max(1, rate)

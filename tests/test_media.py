@@ -58,7 +58,7 @@ def test_sniff():
     assert sniff_media(b"\xff\xd8\xff\xe0jpeg-ish") == "jpeg"
     assert sniff_media(encode_jpeg(_grad())) == "jpeg"
     assert sniff_media(b"GIF89a....") == "gif"
-    assert sniff_media(b"RIFFxxxxWEBP") == "unknown"
+    assert sniff_media(b"RIFFxxxxWEBP") == "webp"  # round 5: real decoder
 
 
 def test_png_roundtrip_gray():
@@ -327,7 +327,13 @@ def test_media_features_real_decode_path(spark):
         (6, bytearray(encode_jpeg(img, quality=95))),
         (7, bytearray(encode_jpeg_420(img, quality=95))),
         (8, bytearray(b"RIFFxxxxWEBPno codec here")),
+        (9, None),  # placeholder replaced below: real lossless webp
+        (10, None),  # lossy VP8 shell: true dims, null features
     ]
+    from document_ai_spark.kernel.media import encode_webp_vp8_shell, encode_webp_vp8l
+
+    rows[8] = (9, bytearray(encode_webp_vp8l(img)))
+    rows[9] = (10, bytearray(encode_webp_vp8_shell(10, 8)))
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r for r in media_features(df, decode_stub=False).collect()}
     assert got[1].media_type == "png" and (got[1].width, got[1].height) == (10, 8)
@@ -343,7 +349,13 @@ def test_media_features_real_decode_path(spark):
     # unknown codec + corrupt payloads isolate to null-feature rows
     assert got[4].media_type == "jpeg" and got[4].features is None
     assert got[5].media_type == "png" and got[5].features is None
-    assert got[8].media_type == "unknown" and got[8].features is None
+    assert got[8].media_type == "webp" and got[8].features is None  # corrupt container
+    # real lossless webp: full decode, features match the png of the SAME image
+    assert got[9].media_type == "webp" and (got[9].width, got[9].height) == (10, 8)
+    assert got[9].features == got[1].features
+    # lossy VP8 shell: true header dims, features behind the codec seam
+    assert got[10].media_type == "webp" and (got[10].width, got[10].height) == (10, 8)
+    assert got[10].features is None
 
 
 def test_jpeg_progressive_equals_baseline_pixels():
@@ -595,3 +607,176 @@ def test_media_features_probes_mp4(spark):
     assert r.media_type == "mp4"
     assert (r.width, r.height, r.duration_ms) == (640, 360, 9000)
     assert r.features is None  # frame decode = the external-codec seam
+
+
+# ---------------------------------------------------------------------------
+# WebP (kernel/webp.py, RFC 9649)
+
+
+def test_webp_vp8l_round_trip_all_encoder_paths():
+    from document_ai_spark.kernel import webp
+
+    img = np.add.outer(np.arange(23) * 3, np.arange(41) * 5).astype(np.uint8)
+    for kwargs in (
+        dict(),                              # subtract-green + literals
+        dict(cache_bits=4),                  # color cache
+        dict(rle=True),                      # LZ77 distance-1 runs
+        dict(cache_bits=3, rle=True),        # cache + LZ77 interplay
+        dict(meta_bits=2),                   # meta prefix entropy image
+    ):
+        w, h, gray = webp.decode_webp(webp.encode_webp_vp8l(img, **kwargs))
+        assert (w, h) == (41, 23) and np.array_equal(gray, img), kwargs
+
+
+def test_webp_vp8l_palette_bundling_all_depths():
+    from document_ai_spark.kernel import webp
+
+    rng = np.random.RandomState(3)
+    for nv in (2, 3, 4, 9, 16):  # xbits 3 / 2 / 2 / 1 / 1
+        img = (rng.randint(0, nv, size=(11, 19)) * (255 // max(1, nv - 1))).astype(np.uint8)
+        w, h, gray = webp.decode_webp(webp.encode_webp_vp8l(img, palette=True))
+        assert np.array_equal(gray, img), nv
+
+
+def test_webp_vp8l_single_value_and_1x1():
+    from document_ai_spark.kernel import webp
+
+    flat = np.full((9, 13), 77, dtype=np.uint8)
+    for kwargs in (dict(), dict(rle=True), dict(palette=True)):
+        assert np.array_equal(webp.decode_webp(webp.encode_webp_vp8l(flat, **kwargs))[2], flat)
+    one = np.array([[201]], dtype=np.uint8)
+    assert np.array_equal(webp.decode_webp(webp.encode_webp_vp8l(one))[2], one)
+
+
+def _vp8l_with_transform(img_argb, w, h, ttype, bits, tdata, residual):
+    """Hand-assemble a VP8L stream carrying one predictor/color transform
+    (the encoder never emits those two — this pins the DECODER against
+    independently computed forward transforms)."""
+    from document_ai_spark.kernel.webp import _BitWriter, _encode_entropy_image
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)          # transform present
+    bw.write(ttype, 2)      # 0 = predictor, 1 = color
+    bw.write(bits - 2, 3)
+    sw = (w + (1 << bits) - 1) >> bits
+    sh = (h + (1 << bits) - 1) >> bits
+    _encode_entropy_image(bw, np.asarray(tdata, dtype=np.uint32).reshape(-1), sw, sh, sub=True)
+    bw.write(0, 1)          # end of transforms
+    _encode_entropy_image(bw, np.asarray(residual, dtype=np.uint32).reshape(-1), w, h)
+    data = bw.bytes()
+    riff = b"VP8L" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        riff += b"\x00"
+    return b"RIFF" + (4 + len(riff)).to_bytes(4, "little") + b"WEBP" + riff
+
+
+def _argb_gray(img):
+    return (0xFF000000 | (img.astype(np.uint32) * 0x010101)).reshape(-1)
+
+
+def test_webp_vp8l_predictor_transform_decode():
+    """Forward-filter with predictor modes computed here (mode 1 = left,
+    mode 2 = top per 4x4 block), decode must reconstruct the original."""
+    from document_ai_spark.kernel import webp
+
+    h, w, bits = 8, 12, 2
+    img = np.add.outer(np.arange(h) * 11, np.arange(w) * 7).astype(np.uint8)
+    argb = _argb_gray(img)
+    sw = (w + 3) >> 2
+    sh = (h + 3) >> 2
+    modes = [[1 if (bx + by) % 2 == 0 else 2 for bx in range(sw)] for by in range(sh)]
+    tdata = [0xFF000000 | (modes[by][bx] << 8) for by in range(sh) for bx in range(sw)]
+
+    def chans(p):
+        return np.array([(p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF], dtype=np.int64)
+
+    def pack(c):
+        c = [int(x) & 0xFF for x in c]
+        return (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
+
+    residual = np.zeros(w * h, dtype=np.uint32)
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if x == 0 and y == 0:
+            pred = np.array([0xFF, 0, 0, 0], dtype=np.int64)
+        elif y == 0:
+            pred = chans(int(argb[pos - 1]))
+        elif x == 0:
+            pred = chans(int(argb[pos - w]))
+        else:
+            mode = modes[y >> bits][x >> bits]
+            pred = chans(int(argb[pos - 1])) if mode == 1 else chans(int(argb[pos - w]))
+        residual[pos] = pack(chans(int(argb[pos])) - pred)
+
+    data = _vp8l_with_transform(argb, w, h, 0, bits, tdata, residual)
+    W, H, gray = webp.decode_webp(data)
+    assert (W, H) == (w, h)
+    assert np.array_equal(gray, img)
+
+
+def test_webp_vp8l_color_transform_decode():
+    """Forward color transform (red -= delta(g2r, green); blue -=
+    delta(g2b, green) + delta(r2b, red)), decode must invert it."""
+    from document_ai_spark.kernel import webp
+    from document_ai_spark.kernel.webp import _ctd
+
+    h, w, bits = 6, 9, 3
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    argb = _argb_gray(img)
+    g2r, g2b, r2b = 0x20, 0xE8, 0x05  # mixed-sign int8 deltas
+    cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+    residual = np.zeros(w * h, dtype=np.uint32)
+    for pos in range(w * h):
+        px = int(argb[pos])
+        a = (px >> 24) & 0xFF
+        red = (px >> 16) & 0xFF
+        green = (px >> 8) & 0xFF
+        blue = px & 0xFF
+        nr = (red - _ctd(g2r, green)) & 0xFF
+        nb = (blue - _ctd(g2b, green) - _ctd(r2b, red)) & 0xFF
+        residual[pos] = (a << 24) | (nr << 16) | (green << 8) | nb
+    data = _vp8l_with_transform(argb, w, h, 1, bits, [cte] * 2, residual)
+    W, H, gray = webp.decode_webp(data)
+    # source pixels are pure gray (r=g=b=v), so BT.601 luma == v exactly
+    assert np.array_equal(gray, img)
+
+
+def test_webp_probe_lossy_and_extended():
+    from document_ai_spark.kernel import webp
+
+    shell = webp.encode_webp_vp8_shell(640, 360)
+    assert webp.probe_webp(shell) == (640, 360, "lossy")
+    with pytest.raises(ValueError, match="lossy"):
+        webp.decode_webp(shell)
+    # VP8X extended container: canvas dims in 24-bit fields
+    body = bytes(4) + (639).to_bytes(3, "little") + (359).to_bytes(3, "little")
+    chunk = b"VP8X" + len(body).to_bytes(4, "little") + body
+    vp8x = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    assert webp.probe_webp(vp8x) == (640, 360, "extended")
+
+
+def test_webp_sniff_and_multimodal_dispatch():
+    from document_ai_spark.kernel import webp
+
+    img = np.add.outer(np.arange(16), np.arange(16)).astype(np.uint8)
+    data = webp.encode_webp_vp8l(img)
+    assert sniff_media(data) == "webp"
+    assert sniff_media(b"RIFF\x00\x00\x00\x00WAVE") == "wav"  # RIFF split intact
+    # truncated/corrupt webp isolates, never raises out of the batch
+    with pytest.raises(ValueError):
+        webp.decode_webp(data[:20])
+
+
+def test_webp_deterministic_bytes():
+    from document_ai_spark.kernel import webp
+
+    img = np.add.outer(np.arange(10) * 5, np.arange(14) * 3).astype(np.uint8)
+    assert webp.encode_webp_vp8l(img, cache_bits=3, rle=True) == webp.encode_webp_vp8l(
+        img, cache_bits=3, rle=True
+    )
