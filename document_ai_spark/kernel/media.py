@@ -113,10 +113,14 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     """Reverse PNG scanline filtering -> raw pixel bytes (row-major).
-    Filters 0 (None) and 2 (Up) are whole-row numpy ops; the
-    sequentially-dependent Sub/Average/Paeth run per byte (acceptable at
-    the sampled-media size cap; a vectorized library is the swap-in seam
-    for bigger inputs)."""
+    Filters 0 (None), 1 (Sub — a per-lane prefix sum: recon[i] =
+    line[i] + recon[i-bpp], i.e. cumsum mod 256 down each of the bpp
+    byte lanes) and 2 (Up) are whole-row numpy ops, so every filter the
+    corpus's forward writers emit (None/Sub/Up — including the
+    predictor'd ObjStm/xref streams on the PDF hot path) decodes without
+    a per-byte loop. Average/Paeth carry a two-neighbor sequential
+    dependency and stay per-byte, bounded by the 16 Mpx envelope
+    (reachable only through actual PNG media decode)."""
     stride = width * bpp
     if len(raw) < height * (stride + 1):
         raise ValueError("png: truncated pixel data")
@@ -138,10 +142,11 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
             ).tobytes()
         elif ftype == 2:  # Up on the first row == None
             out[o : o + stride] = line
-        elif ftype == 1:  # Sub
-            for i in range(stride):
-                left = out[o + i - bpp] if i >= bpp else 0
-                out[o + i] = (line[i] + left) & 0xFF
+        elif ftype == 1:  # Sub: per-lane prefix sum, whole row at once
+            lanes = np.frombuffer(line, dtype=np.uint8).reshape(width, bpp)
+            out[o : o + stride] = (
+                (lanes.astype(np.int64).cumsum(axis=0) & 0xFF).astype(np.uint8).tobytes()
+            )
         elif ftype == 3:  # Average
             for i in range(stride):
                 left = out[o + i - bpp] if i >= bpp else 0

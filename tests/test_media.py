@@ -780,3 +780,56 @@ def test_webp_deterministic_bytes():
     assert webp.encode_webp_vp8l(img, cache_bits=3, rle=True) == webp.encode_webp_vp8l(
         img, cache_bits=3, rle=True
     )
+
+
+def test_unfilter_vectorized_sub_matches_per_byte_reference():
+    """The Sub filter is a per-lane prefix sum (numpy cumsum) since round
+    5; pin byte-equality against a straight per-byte implementation of
+    the PNG spec across random rows mixing all five filters."""
+    from document_ai_spark.kernel.media import _unfilter
+
+    def ref(raw, width, height, bpp):
+        stride = width * bpp
+        out = bytearray(height * stride)
+        pos = 0
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        for y in range(height):
+            ft = raw[pos]
+            pos += 1
+            line = raw[pos : pos + stride]
+            pos += stride
+            o = y * stride
+            po = o - stride
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[po + i] if y > 0 else 0
+                ul = out[po + i - bpp] if (y > 0 and i >= bpp) else 0
+                v = line[i]
+                if ft == 1:
+                    v += left
+                elif ft == 2:
+                    v += up
+                elif ft == 3:
+                    v += (left + up) >> 1
+                elif ft == 4:
+                    v += paeth(left, up, ul)
+                out[o + i] = v & 0xFF
+        return out
+
+    rng = np.random.RandomState(5)
+    for _ in range(15):
+        w = int(rng.randint(1, 40))
+        h = int(rng.randint(1, 30))
+        bpp = int(rng.choice([1, 2, 3, 4]))
+        raw = bytearray()
+        for _y in range(h):
+            raw.append(int(rng.randint(0, 5)))
+            raw += bytes(rng.randint(0, 256, size=w * bpp, dtype=np.uint8))
+        assert bytes(_unfilter(bytes(raw), w, h, bpp)) == bytes(ref(bytes(raw), w, h, bpp))
