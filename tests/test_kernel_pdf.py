@@ -1249,3 +1249,37 @@ def test_encrypt_inside_content_stream_is_not_a_false_positive():
     # detection is scoped to trailer dicts / xref chain heads
     payload = pdf(obj(72, 700, "mentions /Encrypt in running text prose"))
     assert extract_document(payload)[1] == "pdf"
+
+
+def test_xref_chain_is_total_on_garbage():
+    """The xref walk must never throw (except the deliberate
+    EncryptedPdfError) and never corrupt scan results on adversarial
+    input: random bytes, truncated chains, self-referencing /Prev loops,
+    offsets out of range."""
+    import random as _random
+
+    from document_ai_spark.kernel.pdf_extract import EncryptedPdfError, _scan_objects
+
+    rng = _random.Random(99)
+    base, xoff = _classic_rev1(b"stable body text")
+    for trial in range(60):
+        payload = bytearray(base)
+        # random mutations biased at the tail (where the chain lives)
+        for _ in range(rng.randint(1, 12)):
+            i = rng.randrange(max(1, len(payload) - 200), len(payload))
+            payload[i] = rng.randrange(256)
+        try:
+            objs = _scan_objects(bytes(payload))
+            assert isinstance(objs, dict)
+        except EncryptedPdfError:
+            pass  # a mutation can legitimately fabricate /Encrypt — labeled, not crashed
+    # /Prev pointing at itself must terminate (revision budget)
+    looped = base.replace(
+        b"trailer\n<</Size 4 /Root 1 0 R>>",
+        b"trailer\n<</Size 4 /Root 1 0 R /Prev %d>>" % xoff,
+    )
+    text, _ = extract_pdf(looped)
+    assert text == "stable body text"
+    # startxref far out of range
+    oor = base.replace(b"startxref\n%d" % xoff, b"startxref\n99999999")
+    assert extract_pdf(oor)[0] == "stable body text"
