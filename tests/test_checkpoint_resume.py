@@ -35,7 +35,9 @@ def test_metrics_rollup_counters(spark, pages_dir, tmp_path):
     run_extraction(spark, pages_dir, out, run, n_groups=2, run_id="r1")
     m = metrics_rollup(spark, run).filter(F.col("run_id") == "r1").collect()[0]
     assert m["n_groups"] == 2 and m["n_docs"] == 200
-    assert m["n_err"] == 0 and m["bytes_in"] > 0
+    # corpus v10 plants exactly one deliberate error row: the /Encrypt'd
+    # PDF (labeled isolation) — the rollup must count it, and only it
+    assert m["n_err"] == 1 and m["bytes_in"] > 0
 
 
 def test_output_partitioned_by_day(spark, pages_dir, tmp_path):
