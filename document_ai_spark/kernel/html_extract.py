@@ -12,7 +12,9 @@ DOM is tokenized into a flat element/block array and boilerplate is stripped
 via text-density + link-density heuristics.
 
 Pipeline (pure function of the input bytes):
-  bytes --decode(utf-8, errors=replace)--> str
+  bytes --charset sniff (BOM, then <meta charset>/<meta http-equiv>
+         within the first 1024 bytes, WHATWG-style; fallback
+         utf-8/errors=replace)--> str
       --HTMLParser tokenize--> flat block array
          (tag, text, n_chars, n_link_chars, n_text_nodes, in_article)
       --score--> keep/drop per block (densities + tag class + length)
@@ -226,6 +228,50 @@ MD_PREFIX = {
 }
 
 
+# charset sniffing (HTML5 §encoding-sniffing, pragmatic subset): BOMs
+# win outright; else a <meta charset=...> / <meta http-equiv
+# content-type> declaration in the first 1024 bytes (scannable as ASCII
+# in every ASCII-compatible encoding) picks the codec; else utf-8 with
+# errors=replace, the round-1 behavior. WHATWG maps the latin-1 family
+# to windows-1252 (its 0x80-0x9F block is what pages actually use), and
+# a meta claiming utf-16 on a BOM-less stream is treated as utf-8 (the
+# meta itself was readable as 8-bit ASCII, so the claim is false).
+import re as _re
+
+_CHARSET_RE = _re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_.:\-]+)""", _re.I
+)
+_CP1252_ALIASES = frozenset(
+    "iso-8859-1 iso8859-1 latin-1 latin1 windows-1252 cp1252 x-cp1252 ascii us-ascii".split()
+)
+
+
+def decode_html_bytes(payload: bytes) -> str:
+    """Charset-sniffed total decode (never raises): BOM > meta > utf-8."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload[:4] == b"\xff\xfe\x00\x00":
+        return payload[4:].decode("utf-32-le", errors="replace")
+    if payload[:4] == b"\x00\x00\xfe\xff":
+        return payload[4:].decode("utf-32-be", errors="replace")
+    if payload[:2] == b"\xff\xfe":
+        return payload[2:].decode("utf-16-le", errors="replace")
+    if payload[:2] == b"\xfe\xff":
+        return payload[2:].decode("utf-16-be", errors="replace")
+    m = _CHARSET_RE.search(payload[:1024])
+    if m:
+        enc = m.group(1).decode("ascii", errors="ignore").lower().strip(".")
+        if enc in _CP1252_ALIASES:
+            return payload.decode("windows-1252", errors="replace")
+        if enc.startswith("utf-16") or enc.startswith("utf-32") or enc in ("utf16", "utf32"):
+            enc = "utf-8"  # BOM-less 8-bit stream: the claim is false
+        try:
+            return payload.decode(enc, errors="replace")
+        except LookupError:
+            pass  # unknown label: fall through to the utf-8 default
+    return payload.decode("utf-8", errors="replace")
+
+
 def extract_html(payload: bytes, markdown: bool = False) -> Tuple[str, List[dict]]:
     """bytes -> (extracted main text, span dicts).
 
@@ -237,7 +283,7 @@ def extract_html(payload: bytes, markdown: bool = False) -> Tuple[str, List[dict
     export_to_markdown -> MarkdownTextSplitter chunks on this structure).
     Span offsets include the prefixes so reconstruction still holds.
     """
-    html_text = payload.decode("utf-8", errors="replace")
+    html_text = decode_html_bytes(payload)
     blocks = tokenize_blocks(html_text)
     kept = [b for b in blocks if keep_block(b)]
     parts: List[str] = []

@@ -30,9 +30,11 @@ text is reachable only via xref-driven precedence) — a Zipf long tail
 of page sizes with a handful of giant pages
 (x100 median — exercises salted repartitioning), and one of each edge case:
 empty, whitespace-only, truncated tags, invalid UTF-8, no-main-block, a
-byte-duplicate payload under two urls, a zero-text-object PDF, and a
+byte-duplicate payload under two urls, a zero-text-object PDF, a
 static /Encrypt'd PDF the kernel must LABEL (error='encrypted'), never
-decode.
+decode, and (corpus v11) a BOM'd UTF-16LE page + a <meta
+charset=windows-1252> page whose accented text must survive charset
+sniffing.
 
 Everything derives from ``random.Random(seed)`` — no wall clock, no
 PYTHONHASHSEED dependence, no network. Same (seed, n_docs) => same bytes.
@@ -48,7 +50,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 10
+CORPUS_VERSION = 11
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -741,6 +743,28 @@ _EDGE_CASES = [
     ("no-main", b'<html><body><nav><a href="/x">a</a><a href="/y">b</a></nav><footer><a href="/z">c</a></footer></body></html>'),
     ("pdf-notext", b"%PDF-1.4\n1 0 obj\n<</Type/Page>>\n%%EOF\n"),
     ("pdf-encrypted", _ENCRYPTED_PDF),
+    # corpus v11: non-UTF-8 pages a real crawl serves — BOM'd UTF-16LE
+    # and a windows-1252 page declared via <meta charset>; extraction
+    # must recover the accented text, not mojibake (charset sniffing,
+    # kernel/html_extract.decode_html_bytes)
+    (
+        "utf16le",
+        (
+            "<html><body><article><p>Première página — naïve café text "
+            "with enough characters to pass the keep threshold easily."
+            "</p><p>Another UTF-16 paragraph that also stays kept in the "
+            "extraction output.</p></article></body></html>"
+        ).encode("utf-16"),  # Python utf-16 prepends the LE BOM
+    ),
+    (
+        "charset-1252",
+        (
+            '<html><head><meta charset="windows-1252"></head><body>'
+            "<article><p>Café résumé naïve touché — a legacy Latin page "
+            "with enough body text to pass the keep threshold easily."
+            "</p></article></body></html>"
+        ).encode("cp1252"),
+    ),
 ]
 
 

@@ -123,3 +123,65 @@ def test_densities_are_ratios_of_counts():
     assert 0 < b.link_density < 1
     assert b.text_density > 0
     assert keep_block(b) is (b.n_chars >= 25 and b.link_density < 1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# round 5: charset sniffing (BOM > meta > utf-8)
+
+
+def test_decode_html_bytes_boms():
+    from document_ai_spark.kernel.html_extract import decode_html_bytes
+
+    s = "<p>naïve café — é</p>"
+    assert decode_html_bytes(b"\xef\xbb\xbf" + s.encode("utf-8")) == s
+    assert decode_html_bytes(s.encode("utf-16")) == s            # LE BOM
+    assert decode_html_bytes(b"\xfe\xff" + s.encode("utf-16-be")) == s
+    assert decode_html_bytes(b"\xff\xfe\x00\x00" + s.encode("utf-32-le")) == s
+    assert decode_html_bytes(b"\x00\x00\xfe\xff" + s.encode("utf-32-be")) == s
+
+
+def test_decode_html_bytes_meta_charset():
+    from document_ai_spark.kernel.html_extract import decode_html_bytes
+
+    body = '<html><head><meta charset="windows-1252"></head><body>Café touché</body></html>'
+    assert "Café touché" in decode_html_bytes(body.encode("cp1252"))
+    # http-equiv spelling + latin-1 alias map to windows-1252 too
+    legacy = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=ISO-8859-1"></head><body>résumé \x97 dash</body></html>'
+    )
+    out = decode_html_bytes(legacy.encode("latin-1").replace(b"\xc3\xa9", b"\xe9"))
+    # \x97 is an em dash in cp1252 (undefined in latin-1 proper) — the
+    # WHATWG alias mapping is what makes it decode
+    assert "—" in out
+    # shift_jis via python codec lookup
+    sj = '<meta charset="shift_jis"><p>日本語テキスト</p>'.encode("shift_jis")
+    assert "日本語テキスト" in decode_html_bytes(sj)
+
+
+def test_decode_html_bytes_false_utf16_claim_and_unknown_label():
+    from document_ai_spark.kernel.html_extract import decode_html_bytes
+
+    # a BOM-less 8-bit stream claiming utf-16: WHATWG says treat as utf-8
+    p = b'<meta charset="utf-16"><p>plain ascii body</p>'
+    assert "plain ascii body" in decode_html_bytes(p)
+    # unknown label falls back to utf-8/replace, total
+    q = '<meta charset="x-not-a-codec"><p>fallback café</p>'.encode("utf-8")
+    assert "fallback café" in decode_html_bytes(q)
+    # sniff window: a charset= beyond 1024 bytes is ignored
+    far = b"<html>" + b" " * 1100 + '<meta charset="windows-1252">café'.encode("cp1252")
+    assert "caf" in decode_html_bytes(far)  # decoded as utf-8, é replaced
+
+
+def test_utf16_page_extracts_clean_text():
+    from document_ai_spark.kernel.extract import extract_document
+    from document_ai_spark.sources.pages import _EDGE_CASES
+
+    cases = dict(_EDGE_CASES)
+    dh, kind, text, spans, n_chars, n_blocks, err = extract_document(cases["utf16le"])
+    assert kind == "html" and err is None
+    assert text.startswith("Première página — naïve café")
+    assert "\x00" not in text and "�" not in text
+    dh, kind, text, *_ = extract_document(cases["charset-1252"])
+    assert kind == "html" and text.startswith("Café résumé naïve touché")
+    assert "�" not in text
