@@ -545,6 +545,31 @@ def _q45_out_dir() -> str:
     return os.path.join(tempfile.gettempdir(), "da_spark_extract_md_2k_out")
 
 
+def _ensure_extract_2k(spark) -> str:
+    """Build the plain-extraction 2k parquet (q25's output) if missing —
+    so queries that CONSUME it (q53) don't depend on q25 having run
+    first in the same process."""
+    import tempfile
+
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.plans.pipeline import compact_for_write, read_pages
+    from document_ai_spark.sources.pages import CORPUS_VERSION, write_pages_parquet
+
+    out_dir = _q25_out_dir()
+    marker = os.path.join(out_dir, f"_corpus_v{CORPUS_VERSION}")
+    if not os.path.isdir(out_dir) or not os.path.exists(marker):
+        corpus = os.path.join(tempfile.gettempdir(), f"da_spark_pages_v{CORPUS_VERSION}_2k")
+        if not os.path.isdir(corpus):
+            write_pages_parquet(corpus, 2000, seed=42)
+        extracted = extract_pages(read_pages(spark, corpus), salt_partitions=16)
+        compact_for_write(extracted, files_per_day=4).write.mode("overwrite").partitionBy(
+            "warc_day"
+        ).parquet(out_dir)
+        with open(marker, "w") as f:
+            f.write("")
+    return out_dir
+
+
 def q45_markdown_chunks(spark, sf_dir):
     """Markdown-structured extraction + heading-boundary chunking
     (reference parity: export_to_markdown -> markdown splitter,
@@ -586,22 +611,7 @@ def q25_extract_lang_day(spark, sf_dir):
     up per (lang, warc_day, kind) FROM THE WRITTEN FILES — so the DuckDB
     oracle can read the very same parquet and recompute the rollup
     (extracted text itself is byte-identity-gated vs goldens in pytest)."""
-    import tempfile
-
-    from document_ai_spark.operators.extraction import extract_pages
-    from document_ai_spark.plans.pipeline import compact_for_write, read_pages
-    from document_ai_spark.sources.pages import write_pages_parquet
-
-    from document_ai_spark.sources.pages import CORPUS_VERSION
-
-    corpus = os.path.join(tempfile.gettempdir(), f"da_spark_pages_v{CORPUS_VERSION}_2k")
-    if not os.path.isdir(corpus):
-        write_pages_parquet(corpus, 2000, seed=42)
-    out_dir = _q25_out_dir()
-    extracted = extract_pages(read_pages(spark, corpus), salt_partitions=16)
-    compact_for_write(extracted, files_per_day=4).write.mode("overwrite").partitionBy(
-        "warc_day"
-    ).parquet(out_dir)
+    out_dir = _ensure_extract_2k(spark)
     written = spark.read.option("basePath", out_dir).parquet(out_dir)
     return (
         written.groupBy("lang", F.col("warc_day").cast("string").alias("warc_day"), "kind")
@@ -941,6 +951,36 @@ def q52_bigram_lm_broadcast(spark, sf_dir):
     return bigram_lm_scores_broadcast(_t(spark, sf_dir, "documents"), top_v=10**6)
 
 
+def q53_line_boilerplate_dedup(spark, sf_dir):
+    """Corpus-level LINE-frequency dedup (CCNet-style, the pass after
+    extraction in a real webtext pipeline): over the 2k pages corpus's
+    extraction output, drop every line whose trimmed content appears in
+    more than 50 distinct documents — exactly the two in-content
+    boilerplate sentences corpus v12 plants inside ~30%/~20% of articles
+    (text-dense, so the block extractor KEEPS them by design; only
+    corpus-level frequency reveals template). Returns per-document clean
+    text digest + drop counters; the oracle recomputes the whole pass in
+    SQL keyed on line strings (the Spark side counts 64-bit xxhash64
+    line hashes — the standard scale trade — so a hash collision would
+    surface here as a mismatch)."""
+    from document_ai_spark.operators.dedup import remove_boilerplate_lines
+
+    out_dir = _ensure_extract_2k(spark)
+    docs = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .filter(F.col("kind") == "html")
+        .select("url", "text")
+    )
+    cleaned = remove_boilerplate_lines(docs, text_col="text", id_col="url", max_line_df=50)
+    return cleaned.select(
+        F.col("id").alias("url"),
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines",
+        "n_dropped",
+    ).orderBy("url")
+
+
 def _q48_media_dir() -> str:
     import tempfile
 
@@ -1233,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_sessionize_watermarked": q50_sessionize_watermarked,
         "q51_bigram_lm_quality": q51_bigram_lm_quality,
         "q52_bigram_lm_broadcast": q52_bigram_lm_broadcast,
+        "q53_line_boilerplate_dedup": q53_line_boilerplate_dedup,
     }
 
 
@@ -2097,6 +2138,42 @@ GROUP BY 1, 2 ORDER BY lang, kind
     # q52 runs the broadcast top-V LM with top_v >> |vocab| — nothing maps
     # to <unk>, so its truth IS q51's: same SQL, the q47-style equality pin
     out["q52_bigram_lm_broadcast"] = out["q51_bigram_lm_quality"]
+    # line-frequency dedup: recomputed keyed on the LINE STRINGS (the
+    # Spark side counts xxhash64 hashes — the scale trade; a collision
+    # would hash-mismatch here). string_agg(... ORDER BY pos) rebuilds
+    # clean_text in original line order; empty lines (block joiners) are
+    # never counted and never dropped.
+    out["q53_line_boilerplate_dedup"] = f"""
+WITH docs AS (
+  SELECT url, text
+  FROM read_parquet('{_q25_out_dir()}/*/*.parquet', hive_partitioning=true)
+  WHERE kind = 'html'
+),
+lines AS (
+  SELECT url,
+    unnest(string_split(text, chr(10))) AS line,
+    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM docs
+),
+hot AS (
+  SELECT trim(line) AS l FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT url) > 50
+),
+kept AS (
+  SELECT url, pos, line FROM lines
+  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT l FROM hot)
+),
+agg AS (
+  SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+    count(*) AS n_kept
+  FROM kept GROUP BY url
+),
+tot AS (SELECT url, count(*) AS n_lines FROM lines GROUP BY url)
+SELECT a.url, md5(a.clean_text) AS clean_md5,
+  CAST(t.n_lines AS INT) AS n_lines,
+  CAST(t.n_lines - a.n_kept AS INT) AS n_dropped
+FROM agg a JOIN tot t USING (url) ORDER BY a.url
+"""
     return out
 
 

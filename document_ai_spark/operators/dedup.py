@@ -406,3 +406,72 @@ def resolve_duplicate_groups(
     against the corpus is the dedup filter."""
     cc = connected_components(pairs, a_col, b_col)
     return cc.withColumn("is_canonical", F.col("id") == F.col("component"))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    max_line_df: int = 50,
+) -> DataFrame:
+    """CCNet-style LINE-LEVEL corpus dedup (capability extension; no
+    reference analog — the reference dedups whole documents only): drop
+    every line whose trimmed content appears in more than ``max_line_df``
+    distinct documents. This is the standard web-pipeline pass that kills
+    in-content boilerplate the block extractor legitimately keeps
+    ("Subscribe to our newsletter...", share bars, cookie sentences) —
+    the same text-block appearing across hundreds of pages is template,
+    not content.
+
+    -> (id, clean_text, n_lines, n_dropped): clean_text is the document
+    with hot lines removed, remaining lines re-joined with '\\n' in
+    original order (empty lines — e.g. the '\\n\\n' block joiners —
+    are never counted and never dropped, so block structure survives).
+
+    100 TB plan: posexplode is JVM-only; the df count aggregates
+    xxhash64 LINE HASHES (8 bytes each, map-side partial agg), never
+    line text; the hot set (df > threshold) is tiny by construction —
+    boilerplate is what repeats — so the anti-join broadcasts under AQE.
+    The one text-moving shuffle is the groupBy(id) reassembly, same
+    shape as chunking. 64-bit hash collisions are the standard accepted
+    trade (a collision could only over-drop a line whose hash twin is
+    hot); the oracle's string-keyed recomputation would flag one."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    hashed = lines.withColumn("lh", F.xxhash64(F.trim(F.col("line"))))
+    hot = (
+        hashed.filter(F.trim(F.col("line")) != "")
+        .groupBy("lh")
+        .agg(F.count_distinct("id").alias("line_df"))
+        .filter(F.col("line_df") > max_line_df)
+        .select("lh")
+    )
+    kept = hashed.join(
+        F.broadcast(hot),
+        (hashed["lh"] == hot["lh"]) & (F.trim(hashed["line"]) != F.lit("")),
+        "left_anti",
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(
+            lines.groupBy("id").agg(F.count("*").alias("n_lines")), "id"
+        )
+        .select(
+            "id",
+            "clean_text",
+            F.col("n_lines").cast("int").alias("n_lines"),
+            (F.col("n_lines") - F.col("n_kept")).cast("int").alias("n_dropped"),
+        )
+    )

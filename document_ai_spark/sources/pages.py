@@ -9,6 +9,11 @@ written as Parquet partitioned by ``warc_day`` (the local stand-in for an
 Iceberg table partitioned by ``days(warc_ts)`` — no Iceberg jars in the
 sandbox; identical directory layout).
 
+Corpus v12: ~30%/~20% of HTML articles embed one of two fixed
+IN-CONTENT boilerplate sentences (newsletter pitch / share bar) inside
+the <article> block — text-dense, so extraction correctly keeps them;
+they exist for the corpus-level line-frequency dedup operator (q53).
+
 Row mix (FIXTURES.md §1): ~80% templated HTML (link-dense nav/header/
 footer/ads boilerplate + a text-dense <article> main block with <h2>
 section headings and a closing <ul> list), ~10% synthetic PDFs — 22%
@@ -50,7 +55,7 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 
 # bump when generator OUTPUT changes (new variants, size mix, …): cached
 # corpus directories embed this so stale /tmp corpora are never reused
-CORPUS_VERSION = 11
+CORPUS_VERSION = 12
 
 # seeded per-language vocabularies (marker words make lang-id testable)
 _BASE_VOCAB = {
@@ -80,11 +85,25 @@ def _nav_links(rng: random.Random, n: int) -> str:
     )
 
 
+# corpus v12: IN-CONTENT boilerplate — text-dense sentences sitting
+# INSIDE the <article> block, so the density-based extractor correctly
+# KEEPS them (they look exactly like content); only corpus-level
+# line-frequency dedup (operators/dedup.remove_boilerplate_lines, q53)
+# can tell they are template. The real-web analogs: newsletter pitches,
+# share bars, cookie sentences repeated across every page of a site.
+_BOILERPLATE_SENTENCES = [
+    "Subscribe to our free weekly newsletter for in depth updates special member offers and early access to every new article we publish.",
+    "Share this article with your friends on social media and join the discussion in the comment section below the page footer.",
+]
+
+
 def _html_page(rng: random.Random, vocab: List[str], n_paras: int) -> Tuple[bytes, str]:
     """-> (payload bytes, expected-ish main text hint). Article paragraphs are
     the intended extraction; nav/ads/footer are link-dense boilerplate.
     Articles carry <h2> section headings every ~4 paragraphs and close with
-    a short <ul> list — structure the markdown extraction mode surfaces."""
+    a short <ul> list — structure the markdown extraction mode surfaces.
+    ~30% of articles embed boilerplate sentence 0 and ~20% sentence 1
+    (v12): kept by extraction BY DESIGN, removed by line-frequency dedup."""
     paras = [_paragraph(rng, vocab, rng.randint(2, 6)) for _ in range(n_paras)]
     title = _sentence(rng, vocab, 5)
     sidebar = "".join(
@@ -95,6 +114,10 @@ def _html_page(rng: random.Random, vocab: List[str], n_paras: int) -> Tuple[byte
         if k % 4 == 0:
             pieces.append(f"<h2>{_sentence(rng, vocab, rng.randint(4, 7))}</h2>")
         pieces.append(f"<p>{p}</p>")
+    if rng.random() < 0.30:
+        pieces.append(f"<p>{_BOILERPLATE_SENTENCES[0]}</p>")
+    if rng.random() < 0.20:
+        pieces.insert(rng.randrange(len(pieces)), f"<p>{_BOILERPLATE_SENTENCES[1]}</p>")
     pieces.append(
         "<ul>"
         + "".join(

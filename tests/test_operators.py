@@ -587,3 +587,34 @@ def test_bigram_lm_broadcast_unk_hand_computed(spark):
     ]
     assert row.n_bigrams == 5
     assert row.nll == round(sum(terms) / 5, 3)
+
+
+def test_remove_boilerplate_lines(spark):
+    """CCNet-style line-frequency dedup: hot lines (df > threshold) drop
+    from every document, empty lines and order survive, untouched docs
+    round-trip byte-identically."""
+    from document_ai_spark.operators.dedup import remove_boilerplate_lines
+
+    hot = "SUBSCRIBE to our newsletter"
+    rows = [
+        (1, f"unique alpha\n\n{hot}\n\nbody one"),
+        (2, f"{hot}\n\nbody two"),
+        (3, f"body three\n\n  {hot}  "),   # whitespace-padded twin: trim matches
+        (4, "only unique text here\n\nsecond unique line"),
+        (5, f"{hot}\nno empties {hot} inline stays\n{hot}"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r for r in remove_boilerplate_lines(df, "text", "id", max_line_df=2).collect()}
+    # hot line df = 4 docs (1,2,3,5) > 2 -> dropped everywhere
+    assert got[1].clean_text == "unique alpha\n\n\nbody one"
+    assert got[1].n_lines == 5 and got[1].n_dropped == 1
+    assert got[2].clean_text == "\nbody two"
+    assert got[3].clean_text == "body three\n"  # the padded twin dropped too
+    # untouched doc: byte-identical round trip
+    assert got[4].clean_text == rows[3][1] and got[4].n_dropped == 0
+    # a line CONTAINING the hot text is a different line: kept
+    assert got[5].clean_text == f"no empties {hot} inline stays"
+    assert got[5].n_dropped == 2
+    # threshold boundary: df == max_line_df is NOT hot
+    got2 = {r.id: r for r in remove_boilerplate_lines(df, "text", "id", max_line_df=4).collect()}
+    assert got2[2].clean_text == rows[1][1] and got2[2].n_dropped == 0
