@@ -545,10 +545,31 @@ def _q45_out_dir() -> str:
     return os.path.join(tempfile.gettempdir(), "da_spark_extract_md_2k_out")
 
 
+def _kernel_fingerprint() -> str:
+    """md5 over the extraction-kernel sources: the cache key that makes
+    /tmp extraction output self-invalidating on ANY kernel change, not
+    just corpus bumps (review find — a stale cache would feed q25/q53
+    AND their oracles the old kernel's output, hiding the change)."""
+    import hashlib
+
+    import document_ai_spark.kernel.extract as k_extract
+    import document_ai_spark.kernel.fast_html as k_fast
+    import document_ai_spark.kernel.html_extract as k_html
+    import document_ai_spark.kernel.pdf_extract as k_pdf
+    import document_ai_spark.operators.extraction as op_ex
+
+    h = hashlib.md5()
+    for mod in (k_extract, k_html, k_fast, k_pdf, op_ex):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def _ensure_extract_2k(spark) -> str:
     """Build the plain-extraction 2k parquet (q25's output) if missing —
     so queries that CONSUME it (q53) don't depend on q25 having run
-    first in the same process."""
+    first in the same process. Keyed on corpus version AND kernel
+    source fingerprint."""
     import tempfile
 
     from document_ai_spark.operators.extraction import extract_pages
@@ -556,7 +577,7 @@ def _ensure_extract_2k(spark) -> str:
     from document_ai_spark.sources.pages import CORPUS_VERSION, write_pages_parquet
 
     out_dir = _q25_out_dir()
-    marker = os.path.join(out_dir, f"_corpus_v{CORPUS_VERSION}")
+    marker = os.path.join(out_dir, f"_corpus_v{CORPUS_VERSION}_k{_kernel_fingerprint()}")
     if not os.path.isdir(out_dir) or not os.path.exists(marker):
         corpus = os.path.join(tempfile.gettempdir(), f"da_spark_pages_v{CORPUS_VERSION}_2k")
         if not os.path.isdir(corpus):
@@ -2168,11 +2189,11 @@ agg AS (
     count(*) AS n_kept
   FROM kept GROUP BY url
 ),
-tot AS (SELECT url, count(*) AS n_lines FROM lines GROUP BY url)
-SELECT a.url, md5(a.clean_text) AS clean_md5,
+tot AS (SELECT url, len(string_split(text, chr(10))) AS n_lines FROM docs)
+SELECT t.url, md5(COALESCE(a.clean_text, '')) AS clean_md5,
   CAST(t.n_lines AS INT) AS n_lines,
-  CAST(t.n_lines - a.n_kept AS INT) AS n_dropped
-FROM agg a JOIN tot t USING (url) ORDER BY a.url
+  CAST(t.n_lines - COALESCE(a.n_kept, 0) AS INT) AS n_dropped
+FROM tot t LEFT JOIN agg a USING (url) ORDER BY t.url
 """
     return out
 

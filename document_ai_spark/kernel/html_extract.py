@@ -238,8 +238,12 @@ MD_PREFIX = {
 # meta itself was readable as 8-bit ASCII, so the claim is false).
 import re as _re
 
+# scoped to META tags (review find): a bare 'charset=' also appears in
+# script-src query strings, link hrefs and comments — honoring those
+# would mojibake a correct utf-8 page. Covers both <meta charset=...>
+# and <meta http-equiv=content-type content="...; charset=...">.
 _CHARSET_RE = _re.compile(
-    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_.:\-]+)""", _re.I
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9_.:\-]+)""", _re.I
 )
 _CP1252_ALIASES = frozenset(
     "iso-8859-1 iso8859-1 latin-1 latin1 windows-1252 cp1252 x-cp1252 ascii us-ascii".split()

@@ -302,7 +302,10 @@ _XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
 _W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
 _INDEX_RE = re.compile(rb"/Index\s*\[((?:\s*\d+)+)\s*\]")
 _SIZE_RE = re.compile(rb"/Size\s+(\d+)\b")
-_XREF_ENTRY_RE = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])")
+# leading \s* is load-bearing: each 20-byte entry ends ' \r\n'/' \n',
+# so the NEXT entry's match position sits on that trailing separator —
+# without it, every table with 2+ entries failed to parse (review find)
+_XREF_ENTRY_RE = re.compile(rb"\s*(\d{10})\s+(\d{5})\s+([nf])")
 _SUBSEC_RE = re.compile(rb"[ \t\r\n]*(\d+)[ \t]+(\d+)[ \t]*[\r\n]+")
 _MAX_XREF_ROWS = 1 << 22  # adversarial-count budget (4M objects is plenty)
 

@@ -353,94 +353,141 @@ def _ctd(t: int, c: int) -> int:
     return (t * c) >> 5
 
 
+# transform inverses run a per-pixel Python loop (the predictors carry a
+# serial left/top dependency); bound them tighter than the global
+# envelope so a 16 Mpx predictor-transform file cannot pin an executor
+# core for minutes — oversize transform files isolate as ValueError
+# (null-feature row), the same contract as a zlib bomb.
+_MAX_TRANSFORM_PIXELS = 1 << 22  # 4 Mpx (~2048x2048)
+
+def _avg2(a: int, b: int) -> int:
+    """Per-byte (a+b)>>1 on packed 32-bit ARGB ints without unpacking —
+    the classic SWAR trick: carry-safe halving of each byte lane."""
+    return (a & b) + (((a ^ b) & 0xFEFEFEFE) >> 1)
+
+
+def _add_packed(res: int, pred: int) -> int:
+    """Per-byte (res+pred) & 0xFF on packed ARGB: split alternating byte
+    lanes so lane carries cannot cross."""
+    lo = ((res & 0x00FF00FF) + (pred & 0x00FF00FF)) & 0x00FF00FF
+    hi = ((res & 0xFF00FF00) + (pred & 0xFF00FF00)) & 0xFF00FF00
+    return hi | lo
+
+
+def _clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _clamp_add_sub_half(ave: int, c: int) -> int:
+    # per channel: clamp(a + trunc((a - c) / 2)) — C TRUNCATION toward
+    # zero, not Python floor (libwebp/spec semantics; for negative odd
+    # deltas floor is off by one)
+    out = 0
+    for sh in (24, 16, 8, 0):
+        x = (ave >> sh) & 0xFF
+        d = x - ((c >> sh) & 0xFF)
+        v = x + (d // 2 if d >= 0 else -((-d) // 2))
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _select(t: int, l: int, tl: int) -> int:
+    pa = pb = 0
+    for sh in (24, 16, 8, 0):
+        tc = (t >> sh) & 0xFF
+        lc = (l >> sh) & 0xFF
+        tlc = (tl >> sh) & 0xFF
+        p = lc + tc - tlc
+        pa += abs(p - lc)  # distance to LEFT
+        pb += abs(p - tc)  # distance to TOP
+    return l if pa < pb else t
+
+
 def _inv_predictor(img: np.ndarray, width: int, height: int, bits: int, modes: np.ndarray) -> np.ndarray:
     """Inverse predictor transform: residual + prediction per channel,
     mod 256. Works on a flat contiguous buffer, so TR of the rightmost
-    pixel is the current row's first pixel — the spec's addressing."""
+    pixel is the current row's first pixel — the spec's addressing.
+    Plain-int SWAR arithmetic (no per-pixel numpy allocation)."""
+    if width * height > _MAX_TRANSFORM_PIXELS:
+        raise ValueError("webp: predictor-transform image exceeds the pure-Python inverse budget")
     tw = _subsample(width, bits)
-    out = img.astype(np.uint32).copy()
-
-    def chans(p):
-        return np.array([(p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF], dtype=np.int64)
-
-    def pack(c):
-        c = np.clip(c, 0, 255).astype(np.uint32)
-        return (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
-
-    def avg2(a, b):
-        return (a + b) >> 1
-
+    modes_l = [((int(m) >> 8) & 0xFF) for m in modes]
+    out = [int(p) for p in img]
     for pos in range(width * height):
-        x, y = pos % width, pos // width
+        x = pos % width
+        y = pos // width
         if x == 0 and y == 0:
-            pred = np.array([0xFF, 0, 0, 0], dtype=np.int64)
+            pred = 0xFF000000
         elif y == 0:
-            pred = chans(int(out[pos - 1]))       # L
+            pred = out[pos - 1]               # L
         elif x == 0:
-            pred = chans(int(out[pos - width]))   # T
+            pred = out[pos - width]           # T
         else:
-            mode = (int(modes[(y >> bits) * tw + (x >> bits)]) >> 8) & 0xFF
-            L = chans(int(out[pos - 1]))
-            T = chans(int(out[pos - width]))
-            TL = chans(int(out[pos - width - 1]))
-            TR = chans(int(out[pos - width + 1]))  # x=w-1 wraps: spec buffer semantics
-            if mode == 0:
-                pred = np.array([0xFF, 0, 0, 0], dtype=np.int64)
-            elif mode == 1:
+            mode = modes_l[(y >> bits) * tw + (x >> bits)]
+            L = out[pos - 1]
+            T = out[pos - width]
+            if mode == 1:
                 pred = L
             elif mode == 2:
                 pred = T
-            elif mode == 3:
-                pred = TR
-            elif mode == 4:
-                pred = TL
-            elif mode == 5:
-                pred = avg2(avg2(L, TR), T)
-            elif mode == 6:
-                pred = avg2(L, TL)
             elif mode == 7:
-                pred = avg2(L, T)
-            elif mode == 8:
-                pred = avg2(TL, T)
-            elif mode == 9:
-                pred = avg2(T, TR)
-            elif mode == 10:
-                pred = avg2(avg2(L, TL), avg2(T, TR))
-            elif mode == 11:  # Select
-                p = L + T - TL
-                pL = int(np.abs(p - L).sum())
-                pT = int(np.abs(p - T).sum())
-                pred = L if pL < pT else T
-            elif mode == 12:  # ClampAddSubtractFull
-                pred = np.clip(L + T - TL, 0, 255)
-            elif mode == 13:  # ClampAddSubtractHalf
-                a = avg2(L, T)
-                pred = np.clip(a + (a - TL) // 2, 0, 255)
+                pred = _avg2(L, T)
+            elif mode == 0:
+                pred = 0xFF000000
             else:
-                raise ValueError(f"webp: predictor mode {mode}")
-        res = chans(int(out[pos]))
-        out[pos] = pack((res + pred) & 0xFF)
-    return out
+                TL = out[pos - width - 1]
+                TR = out[pos - width + 1]     # x=w-1 wraps: spec buffer semantics
+                if mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _avg2(_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _avg2(L, TL)
+                elif mode == 8:
+                    pred = _avg2(TL, T)
+                elif mode == 9:
+                    pred = _avg2(T, TR)
+                elif mode == 10:
+                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                elif mode == 11:
+                    pred = _select(T, L, TL)
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(L, T, TL)
+                elif mode == 13:
+                    pred = _clamp_add_sub_half(_avg2(L, T), TL)
+                else:
+                    raise ValueError(f"webp: predictor mode {mode}")
+        out[pos] = _add_packed(out[pos], pred)
+    return np.array(out, dtype=np.uint32)
 
 
 def _inv_color(img: np.ndarray, width: int, height: int, bits: int, data: np.ndarray) -> np.ndarray:
     """Inverse color transform: the transform-image pixel packs the
     ColorTransformElement as alpha=255, red=red_to_blue,
     green=green_to_blue, blue=green_to_red (spec §"Color Transform")."""
+    if width * height > _MAX_TRANSFORM_PIXELS:
+        raise ValueError("webp: color-transform image exceeds the pure-Python inverse budget")
     tw = _subsample(width, bits)
-    out = img.copy()
+    data_l = [int(v) for v in data]
+    out = [int(p) for p in img]
     for pos in range(width * height):
         x, y = pos % width, pos // width
-        cte = int(data[(y >> bits) * tw + (x >> bits)])
+        cte = data_l[(y >> bits) * tw + (x >> bits)]
         g2r = cte & 0xFF          # blue channel of the cte pixel
         g2b = (cte >> 8) & 0xFF   # green channel
         r2b = (cte >> 16) & 0xFF  # red channel
-        px = int(out[pos])
+        px = out[pos]
         green = (px >> 8) & 0xFF
         red = (((px >> 16) & 0xFF) + _ctd(g2r, green)) & 0xFF
         blue = ((px & 0xFF) + _ctd(g2b, green) + _ctd(r2b, red)) & 0xFF
         out[pos] = (px & 0xFF00FF00) | (red << 16) | blue
-    return out
+    return np.array(out, dtype=np.uint32)
 
 
 def _inv_palette(img: np.ndarray, width: int, palette: np.ndarray) -> np.ndarray:

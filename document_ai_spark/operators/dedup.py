@@ -453,25 +453,27 @@ def remove_boilerplate_lines(
         (hashed["lh"] == hot["lh"]) & (F.trim(hashed["line"]) != F.lit("")),
         "left_anti",
     )
-    return (
-        kept.groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("clean_text"),
-            F.count("*").alias("n_kept"),
-        )
-        .join(
-            lines.groupBy("id").agg(F.count("*").alias("n_lines")), "id"
-        )
-        .select(
-            "id",
-            "clean_text",
-            F.col("n_lines").cast("int").alias("n_lines"),
-            (F.col("n_lines") - F.col("n_kept")).cast("int").alias("n_dropped"),
-        )
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    # per-doc line totals come from size(split(...)) on the ORIGINAL rows
+    # — no second explode — and the LEFT join keeps documents whose every
+    # line was hot (clean_text = '', all lines dropped) instead of
+    # silently erasing them from the output (review find)
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n", -1)).alias("n_lines"),
+    )
+    return totals.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_dropped"),
     )

@@ -1283,3 +1283,38 @@ def test_xref_chain_is_total_on_garbage():
     # startxref far out of range
     oor = base.replace(b"startxref\n%d" % xoff, b"startxref\n99999999")
     assert extract_pdf(oor)[0] == "stable body text"
+
+
+def test_classic_multi_entry_table_overrides_later_decoy():
+    """Review regression (round 5): _XREF_ENTRY_RE stalled on the
+    ' \\n' entry separator, so every classic table with 2+ entries
+    returned None and xref precedence silently never applied. This case
+    is LOAD-BEARING: a rebuilt file carries an orphaned garbage decoy
+    '3 0 obj' AFTER the real one — byte-order scan keeps the decoy; only
+    the (multi-entry) classic table rescues the true body."""
+    rev1, xoff = _classic_rev1(b"true body via xref")
+    decoy = (
+        b"3 0 obj\n<</Length 44>>\nstream\n"
+        b"BT /F1 12 Tf 72 400 Td (DECOY stale body) Tj ET\nendstream\nendobj\n"
+    )
+    # append the decoy between the table and a re-pointed startxref: the
+    # scan sees it LAST (wins by byte order); the table still points at
+    # the original object 3
+    payload = rev1.replace(b"%%EOF\n", b"") + decoy + b"startxref\n%d\n%%%%EOF\n" % xoff
+    assert extract_pdf(payload)[0] == "true body via xref"
+
+
+def test_encrypted_classic_trailer_beyond_tail_window():
+    """/Encrypt in a classic trailer pushed >4KB from EOF by appended
+    updates: the tail probe misses it, the CHAIN walk must catch it."""
+    rev1, xoff = _classic_rev1(b"secret body")
+    enc = rev1.replace(
+        b"trailer\n<</Size 4 /Root 1 0 R>>",
+        b"trailer\n<</Size 4 /Root 1 0 R /Encrypt 9 0 R>>",
+    )
+    # startxref offset is unchanged (the trailer edit is after the table
+    # start); re-point it explicitly and push the trailer out of the tail
+    pad = b"% incremental update padding\n" * 200  # ~5.8 KB
+    payload = enc.replace(b"%%EOF\n", b"") + pad + b"startxref\n%d\n%%%%EOF\n" % xoff
+    assert len(payload) - payload.find(b"/Encrypt") > 4096
+    assert extract_document(payload)[6] == "encrypted"

@@ -833,3 +833,109 @@ def test_unfilter_vectorized_sub_matches_per_byte_reference():
             raw.append(int(rng.randint(0, 5)))
             raw += bytes(rng.randint(0, 256, size=w * bpp, dtype=np.uint8))
         assert bytes(_unfilter(bytes(raw), w, h, bpp)) == bytes(ref(bytes(raw), w, h, bpp))
+
+
+def test_webp_vp8l_predictor_all_modes_decode():
+    """All 14 predictor modes, forward-filtered by an INDEPENDENT
+    reference (plain-int, C-truncation semantics for mode 13), on random
+    gray pixels — the decoder must reconstruct exactly. Catches the
+    floor-vs-trunc divergence in ClampAddSubtractHalf (review find)."""
+    from document_ai_spark.kernel import webp
+
+    rng = np.random.RandomState(21)
+    h, w, bits = 8, 16, 2  # 4x4 blocks -> 4x2 mode grid = 8 blocks
+    sw, sh = (w + 3) >> 2, (h + 3) >> 2
+
+    def ch(p, s):
+        return (p >> s) & 0xFF
+
+    def avg2(a, b):
+        return tuple((ch(a, s) + ch(b, s)) >> 1 for s in (24, 16, 8, 0)), None
+
+    def pk(t):
+        return (t[0] << 24) | (t[1] << 16) | (t[2] << 8) | t[3]
+
+    def pack_avg2(a, b):
+        return pk(avg2(a, b)[0])
+
+    def predict(mode, L, T, TL, TR):
+        if mode == 0:
+            return 0xFF000000
+        if mode == 1:
+            return L
+        if mode == 2:
+            return T
+        if mode == 3:
+            return TR
+        if mode == 4:
+            return TL
+        if mode == 5:
+            return pack_avg2(pack_avg2(L, TR), T)
+        if mode == 6:
+            return pack_avg2(L, TL)
+        if mode == 7:
+            return pack_avg2(L, T)
+        if mode == 8:
+            return pack_avg2(TL, T)
+        if mode == 9:
+            return pack_avg2(T, TR)
+        if mode == 10:
+            return pack_avg2(pack_avg2(L, TL), pack_avg2(T, TR))
+        if mode == 11:
+            pL = sum(abs(ch(L, s) + ch(T, s) - ch(TL, s) - ch(L, s)) for s in (24, 16, 8, 0))
+            pT = sum(abs(ch(L, s) + ch(T, s) - ch(TL, s) - ch(T, s)) for s in (24, 16, 8, 0))
+            return L if pL < pT else T
+        if mode == 12:
+            return pk(tuple(
+                max(0, min(255, ch(L, s) + ch(T, s) - ch(TL, s))) for s in (24, 16, 8, 0)
+            ))
+        # mode 13: a + trunc((a - TL)/2), C truncation toward zero
+        a = pack_avg2(L, T)
+        out = []
+        for s in (24, 16, 8, 0):
+            d = ch(a, s) - ch(TL, s)
+            t = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(max(0, min(255, ch(a, s) + t)))
+        return pk(tuple(out))
+
+    for trial in range(6):
+        img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        argb = _argb_gray(img)
+        mode_grid = [int(rng.randint(0, 14)) for _ in range(sw * sh)]
+        if trial == 0:
+            mode_grid = [13] * (sw * sh)  # force the trunc-sensitive mode
+        tdata = [0xFF000000 | (m << 8) for m in mode_grid]
+        residual = np.zeros(w * h, dtype=np.uint32)
+        for pos in range(w * h):
+            x, y = pos % w, pos // w
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(argb[pos - 1])
+            elif x == 0:
+                pred = int(argb[pos - w])
+            else:
+                pred = predict(
+                    mode_grid[(y >> bits) * sw + (x >> bits)],
+                    int(argb[pos - 1]), int(argb[pos - w]),
+                    int(argb[pos - w - 1]), int(argb[pos - w + 1]),
+                )
+            # per-channel mod-256 subtraction (packed-lane subtraction
+            # would borrow across byte lanes in unbounded Python ints)
+            residual[pos] = sum(
+                ((ch(int(argb[pos]), s) - ch(pred, s)) & 0xFF) << s
+                for s in (24, 16, 8, 0)
+            )
+        data = _vp8l_with_transform(argb, w, h, 0, bits, tdata, residual)
+        W, H, gray = webp.decode_webp(data)
+        assert np.array_equal(gray, img), f"trial {trial}"
+
+
+def test_webp_transform_budget_isolates_oversize():
+    """A predictor-transform image above the 4 Mpx pure-Python budget
+    raises ValueError (null-feature isolation), never a multi-minute
+    loop."""
+    from document_ai_spark.kernel.webp import _inv_predictor
+
+    with pytest.raises(ValueError, match="budget"):
+        _inv_predictor(np.zeros(1, np.uint32), 4096, 4096, 4, np.zeros(1, np.uint32))

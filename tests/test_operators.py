@@ -618,3 +618,18 @@ def test_remove_boilerplate_lines(spark):
     # threshold boundary: df == max_line_df is NOT hot
     got2 = {r.id: r for r in remove_boilerplate_lines(df, "text", "id", max_line_df=4).collect()}
     assert got2[2].clean_text == rows[1][1] and got2[2].n_dropped == 0
+
+
+def test_remove_boilerplate_lines_all_hot_doc_survives(spark):
+    """A document whose EVERY line is hot must come back with
+    clean_text='' and full drop counters — not vanish (review find)."""
+    from document_ai_spark.operators.dedup import remove_boilerplate_lines
+
+    hot = "COOKIE NOTICE"
+    rows = [(1, hot), (2, hot), (3, hot), (4, f"{hot}\n{hot}"), (5, "real content")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r for r in remove_boilerplate_lines(df, "text", "id", max_line_df=2).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[4].clean_text == "" and got[4].n_lines == 2 and got[4].n_dropped == 2
+    assert got[1].clean_text == "" and got[1].n_dropped == 1
+    assert got[5].clean_text == "real content" and got[5].n_dropped == 0
